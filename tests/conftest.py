@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX import.
+
+Multi-chip sharding paths are exercised hermetically the way the driver does
+(``xla_force_host_platform_device_count``); real-TPU benchmarking happens in
+bench.py, not here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
