@@ -1,0 +1,60 @@
+"""Per-class probability gating and mask rendering, on device.
+
+Twin of reference utils/preprocessing.py:156-203 (`threshold_probs`,
+`pred_to_mask`) with channels-last layout: logits are (H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wsiseg_tpu.ops.morphology import bwperim, dilate
+
+
+def threshold_probs(logits: jnp.ndarray,
+                    class_probs: Sequence[float]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax over classes, zero out classes below their threshold, argmax.
+
+    Args:
+      logits: (H, W, C) accumulated logits.
+      class_probs: per-class probability floor (reference myargs.py:15-17).
+
+    Returns (labels uint8 (H, W), probs (H, W, C)) — same contract as
+    reference utils/preprocessing.py:156-172 (which uses (C, H, W)).
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    floors = jnp.asarray(class_probs, dtype=probs.dtype)
+    probs = jnp.where(probs < floors, 0.0, probs)
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    return labels, probs
+
+
+# Class→RGB rendering: class c (1-based among non-background) lights channel
+# c-1, matching the reference loop (utils/preprocessing.py:191-199).
+def pred_to_mask(labels: jnp.ndarray, num_classes: int,
+                 wsi: jnp.ndarray | None = None,
+                 perim: bool = False) -> jnp.ndarray:
+    """Render class labels onto an RGB canvas.
+
+    Args:
+      labels: (H, W) integer class labels (0 = background).
+      wsi: optional (H, W, 3) uint8 backdrop; zeros if None.
+      perim: draw dilated class perimeters instead of filled regions
+        (reference utils/preprocessing.py:195-197: bwperim + 10-dilate).
+
+    Returns (H, W, 3) uint8.
+    """
+    h, w = labels.shape
+    canvas = (jnp.zeros((h, w, 3), dtype=jnp.uint8)
+              if wsi is None else wsi.astype(jnp.uint8))
+    for cj in range(1, min(num_classes, 4)):
+        sel = (labels == cj)
+        if perim:
+            sel = bwperim(sel.astype(jnp.uint8)) > 0
+            sel = dilate(sel.astype(jnp.uint8), 10) > 0
+        color = jnp.zeros((3,), dtype=jnp.uint8).at[cj - 1].set(255)
+        canvas = jnp.where(sel[..., None], color, canvas)
+    return canvas
