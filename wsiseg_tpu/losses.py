@@ -1,0 +1,276 @@
+"""Loss zoo — functional twins of the reference's 15 registered losses
+(models/losses.py:8-40), jit-friendly and lazily constructed.
+
+Conventions:
+* classification/segmentation losses take ``logits`` with classes LAST
+  ((B, C) or (B, H, W, C)) and integer ``targets`` ((B,) or (B, H, W));
+* regression losses take ``(pred, target)`` float arrays of equal shape;
+* every loss accepts ``sample_weight`` — per-example {0,1} (or soft) weights
+  — because jit-friendly multi-task batches mask rows instead of boolean-
+  indexing them (the reference routes rows dynamically,
+  train_cellularity.py:86-103; SURVEY.md §7c).
+
+Deliberate non-replications (SURVEY.md "known quirks"):
+* the factory builds one loss, not all 15 eagerly (ref models/losses.py:23-39);
+* jaccard uses the correct union ``|x|+|y|-|x∩y|`` — the reference sums
+  ``x`` twice (models/losses.py:277);
+* dice's ``ignore_index`` actually works (the reference's ``params.ignore_inde``
+  typo silently disabled it, models/losses.py:29).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _mean(values: Array, weights: Optional[Array]) -> Array:
+    """Weighted mean over the leading (sample) axis; plain mean if None."""
+    if weights is None:
+        return jnp.mean(values)
+    w = weights.astype(values.dtype)
+    # broadcast sample weights over trailing dims
+    while w.ndim < values.ndim:
+        w = w[..., None]
+    denom = jnp.maximum(jnp.sum(w) * values.size / w.size, 1e-8)
+    return jnp.sum(values * w) / denom
+
+
+def _flatten_logits(logits: Array, targets: Array):
+    c = logits.shape[-1]
+    return logits.reshape(-1, c), targets.reshape(-1)
+
+
+def cross_entropy(logits: Array, targets: Array,
+                  class_weights: Optional[Array] = None,
+                  ignore_index: int = -1,
+                  sample_weight: Optional[Array] = None) -> Array:
+    """Weighted softmax CE with ignore_index (torch nn.CrossEntropyLoss
+    semantics: weighted mean divides by the sum of applied class weights)."""
+    lf, tf = _flatten_logits(logits, targets)
+    valid = (tf != ignore_index)
+    t = jnp.where(valid, tf, 0)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+    w = valid.astype(lf.dtype)
+    if class_weights is not None:
+        w = w * jnp.asarray(class_weights, lf.dtype)[t]
+    if sample_weight is not None:
+        sw = jnp.broadcast_to(
+            sample_weight.reshape(sample_weight.shape + (1,) * (targets.ndim - 1)),
+            targets.shape).reshape(-1)
+        w = w * sw.astype(lf.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def bce(probs: Array, targets: Array,
+        sample_weight: Optional[Array] = None) -> Array:
+    """Binary cross entropy on probabilities (torch nn.BCELoss)."""
+    p = jnp.clip(probs, 1e-7, 1 - 1e-7)
+    t = targets.astype(p.dtype)
+    loss = -(t * jnp.log(p) + (1 - t) * jnp.log(1 - p))
+    return _mean(loss, sample_weight)
+
+
+def focal(logits: Array, targets: Array, gamma: float = 2.0,
+          class_weights: Optional[Array] = None,
+          sample_weight: Optional[Array] = None) -> Array:
+    """Multi-class focal loss (reference FocalLoss2d, models/losses.py:95-130)."""
+    lf, tf = _flatten_logits(logits, targets)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    logpt = jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
+    pt = jnp.exp(logpt)
+    if class_weights is not None:
+        logpt = logpt * jnp.asarray(class_weights, lf.dtype)[tf]
+    loss = -((1.0 - pt) ** gamma) * logpt
+    if sample_weight is not None:
+        sw = jnp.broadcast_to(
+            sample_weight.reshape(sample_weight.shape + (1,) * (targets.ndim - 1)),
+            targets.shape).reshape(-1).astype(lf.dtype)
+        return jnp.sum(loss * sw) / jnp.maximum(jnp.sum(sw), 1e-8)
+    return jnp.mean(loss)
+
+
+def ohem(logits: Array, targets: Array, ratio: float = 0.5,
+         scale_factor: float = 1.0 / 16.0,
+         sample_weight: Optional[Array] = None) -> Array:
+    """Online hard example mining (reference OHEM, models/losses.py:133-160).
+
+    Downscales dense logits/labels by ``scale_factor`` (bilinear/nearest),
+    ranks samples by loss, and averages CE over the hardest ``ratio``
+    fraction — with a static top-k so it stays jit-compilable.
+    """
+    if logits.ndim == 4 and scale_factor != 1.0:
+        b, h, w, c = logits.shape
+        nh, nw = max(1, int(h * scale_factor)), max(1, int(w * scale_factor))
+        logits = jax.image.resize(logits, (b, nh, nw, c), "linear")
+        targets = jax.image.resize(targets.astype(jnp.int32), (b, nh, nw),
+                                   "nearest")
+    lf, tf = _flatten_logits(logits, targets)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    nll = -jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
+    if sample_weight is not None:
+        sw = jnp.broadcast_to(
+            sample_weight.reshape(sample_weight.shape + (1,) * (targets.ndim - 1)),
+            targets.shape).reshape(-1).astype(lf.dtype)
+        nll = nll * sw
+    k = max(1, int(ratio * nll.shape[0]))
+    hard, _ = jax.lax.top_k(nll, k)
+    return jnp.mean(hard)
+
+
+def conditional_entropy_ce(logits: Array, targets: Array,
+                           class_weights: Optional[Array] = None,
+                           sample_weight: Optional[Array] = None) -> Array:
+    """Conditional entropy + cross entropy (reference ConditionalEntropyLoss,
+    models/losses.py:163-178)."""
+    lf, tf = _flatten_logits(logits, targets)
+    logp = jax.nn.log_softmax(lf, axis=-1)
+    p = jnp.exp(logp)
+    ent = jnp.sum(p * logp, axis=-1)          # negative entropy
+    nll = -jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
+    if class_weights is not None:
+        nll = nll * jnp.asarray(class_weights, lf.dtype)[tf]
+    loss = -ent + nll
+    if sample_weight is not None:
+        sw = jnp.broadcast_to(
+            sample_weight.reshape(sample_weight.shape + (1,) * (targets.ndim - 1)),
+            targets.shape).reshape(-1).astype(lf.dtype)
+        return jnp.sum(loss * sw) / jnp.maximum(jnp.sum(sw), 1e-8)
+    return jnp.mean(loss)
+
+
+def _one_hot_masked(targets: Array, num_classes: int, ignore_index):
+    valid = jnp.ones_like(targets, dtype=bool) if ignore_index is None \
+        else (targets != ignore_index)
+    t = jnp.where(valid, targets, 0)
+    oh = jax.nn.one_hot(t, num_classes)
+    return oh * valid[..., None], valid
+
+
+def dice(logits: Array, targets: Array,
+         class_weights: Optional[Array] = None,
+         ignore_index: Optional[int] = None,
+         sample_weight: Optional[Array] = None,
+         eps: float = 1e-4) -> Array:
+    """Soft Dice (reference DiceLoss, models/losses.py:226-258): per-channel
+    1 - 2|x∩y| / (|x|+|y|), class-weighted, summed / C."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    oh, valid = _one_hot_masked(targets, num_classes, ignore_index)
+    if sample_weight is not None:
+        sw = sample_weight.reshape(sample_weight.shape + (1,) * (probs.ndim - sample_weight.ndim))
+        probs = probs * sw
+        oh = oh * sw
+    axes = tuple(range(probs.ndim - 1))
+    inter = jnp.sum(probs * oh, axis=axes)
+    denom = jnp.sum(probs * valid[..., None], axis=axes) + jnp.sum(oh, axis=axes) + eps
+    per_channel = 1.0 - (2.0 * inter) / denom
+    if class_weights is not None:
+        per_channel = per_channel * jnp.asarray(class_weights, probs.dtype)
+    return jnp.sum(per_channel) / num_classes
+
+
+def jaccard(logits: Array, targets: Array, eps: float = 1.0,
+            sample_weight: Optional[Array] = None) -> Array:
+    """Soft IoU loss, mean over channels."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    oh = jax.nn.one_hot(targets, num_classes)
+    if sample_weight is not None:
+        sw = sample_weight.reshape(sample_weight.shape + (1,) * (probs.ndim - sample_weight.ndim))
+        probs, oh = probs * sw, oh * sw
+    axes = tuple(range(probs.ndim - 1))
+    inter = jnp.sum(probs * oh, axis=axes)
+    union = jnp.sum(probs, axes) + jnp.sum(oh, axes) - inter
+    return jnp.mean(1.0 - inter / (union + eps))
+
+
+def tversky(logits: Array, targets: Array, alpha: float = 1.0,
+            beta: float = 1.0, eps: float = 1e-6,
+            sample_weight: Optional[Array] = None) -> Array:
+    """Tversky loss (reference TverskyLoss, models/losses.py:189-223)."""
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    oh = jax.nn.one_hot(targets, num_classes)
+    if sample_weight is not None:
+        sw = sample_weight.reshape(sample_weight.shape + (1,) * (probs.ndim - sample_weight.ndim))
+        probs, oh = probs * sw, oh * sw
+    axes = tuple(range(probs.ndim - 1))
+    inter = jnp.sum(probs * oh, axes) + eps
+    fps = jnp.sum(probs * (1 - oh), axes)
+    fns = jnp.sum((1 - probs) * oh, axes)
+    tv = inter / (inter + alpha * fps + beta * fns)
+    return jnp.mean(1.0 - tv)
+
+
+def zeroloss(*args, **kwargs) -> Array:
+    return jnp.asarray(0.0)
+
+
+# ---- regression losses (reference models/losses.py:49-83) ----
+
+def mse(pred: Array, target: Array, sample_weight=None) -> Array:
+    return _mean((pred - target) ** 2, sample_weight)
+
+
+def l1(pred: Array, target: Array, sample_weight=None) -> Array:
+    return _mean(jnp.abs(pred - target), sample_weight)
+
+
+def rmse(pred: Array, target: Array, sample_weight=None) -> Array:
+    return jnp.sqrt(mse(pred, target, sample_weight))
+
+
+def logcosh(pred: Array, target: Array, sample_weight=None) -> Array:
+    e = pred - target
+    return _mean(jnp.log(jnp.cosh(e + 1e-12)), sample_weight)
+
+
+def xtanh(pred: Array, target: Array, sample_weight=None) -> Array:
+    e = pred - target
+    return _mean(e * jnp.tanh(e), sample_weight)
+
+
+def xsigmoid(pred: Array, target: Array, sample_weight=None) -> Array:
+    e = pred - target
+    return _mean(2 * e / (1 + jnp.exp(-e)) - e, sample_weight)
+
+
+_REGISTRY = {
+    "xent": cross_entropy,
+    "bce": bce,
+    "focal": focal,
+    "ohem": ohem,
+    "cent": conditional_entropy_ce,
+    "dice": dice,
+    "jaccard": jaccard,
+    "tversky": tversky,
+    "zeroloss": zeroloss,
+    "mse": mse,
+    "l1": l1,
+    "rmse": rmse,
+    "logcosh": logcosh,
+    "xtanh": xtanh,
+    "xsigmoid": xsigmoid,
+}
+
+
+def loss_fn(name: str, **fixed_kwargs) -> Callable[..., Array]:
+    """Factory (reference `lossfn`, models/losses.py:8-40), constructing only
+    the requested loss. ``fixed_kwargs`` are bound (e.g. class_weights)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown loss {name!r}; known: {sorted(_REGISTRY)}")
+    base = _REGISTRY[name]
+    if not fixed_kwargs:
+        return base
+
+    def bound(*args, **kw):
+        return base(*args, **{**fixed_kwargs, **kw})
+
+    bound.__name__ = f"{name}_bound"
+    return bound

@@ -1,0 +1,91 @@
+"""Epoch-driven training loop shared by all trainer CLIs.
+
+One skeleton for the reference's five trainers (SURVEY.md §1.6): epoch loop
+over host batches → device step → running metrics → periodic validation and
+checkpointing (``validate_model`` / ``save_models`` cadence, myargs.py:73-78).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from wsiseg_tpu.config import Config
+from wsiseg_tpu.data.pipeline import prefetch_to_device
+from wsiseg_tpu.train.state import TrainState, save_checkpoint
+
+
+class Trainer:
+    def __init__(self, cfg: Config, state: TrainState, step_fn: Callable,
+                 make_batches: Callable[[], Iterable[Dict]],
+                 preprocess_batch: Optional[Callable] = None,
+                 validate_fn: Optional[Callable] = None,
+                 log_fn: Callable[[str], None] = print):
+        """
+        Args:
+          step_fn: (state, batch, rng) -> (state, metrics) — already jitted.
+          make_batches: returns a fresh host-batch iterator per epoch.
+          preprocess_batch: optional device-side batch transform
+            (e.g. uint8→normalized float + jitter), called as
+            fn(batch, rng, train=True) INSIDE the host loop but typically
+            jitted itself.
+          validate_fn: fn(state, epoch) -> dict of metrics.
+        """
+        self.cfg = cfg
+        self.state = state
+        self.step_fn = step_fn
+        self.make_batches = make_batches
+        self.preprocess_batch = preprocess_batch
+        self.validate_fn = validate_fn
+        self.log = log_fn
+        self.history: list[dict] = []
+
+    def run(self, start_epoch: Optional[int] = None,
+            num_epochs: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        start = start_epoch if start_epoch is not None else cfg.start_epoch
+        end = start + (num_epochs if num_epochs is not None
+                       else cfg.num_epoch - start + 1)
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        for epoch in range(start, end):
+            t0 = time.time()
+            sums: Dict[str, float] = {}
+            count = 0
+            n_samples = 0
+            for batch in prefetch_to_device(iter(self.make_batches()),
+                                            depth=cfg.prefetch_depth):
+                rng, sub, pp = jax.random.split(rng, 3)
+                if self.preprocess_batch is not None:
+                    batch = self.preprocess_batch(batch, pp)
+                n_samples += int(batch["image"].shape[0])
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+                count += 1
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+
+            dt = time.time() - t0
+            avg = {k: v / max(count, 1) for k, v in sums.items()}
+            rate = n_samples / dt if dt > 0 else 0.0
+            self.log(f"Epoch {epoch}: " +
+                     ", ".join(f"{k} {v:.4f}" for k, v in sorted(avg.items())) +
+                     f", {rate:.1f} patches/s")
+            rec = {"epoch": epoch, **avg, "patches_per_sec": rate}
+
+            if (self.validate_fn is not None and cfg.validate_model > 0
+                    and epoch % cfg.validate_model == 0):
+                val = self.validate_fn(self.state, epoch) or {}
+                rec.update({f"val_{k}": v for k, v in val.items()})
+                if val:
+                    self.log(f"  val: " +
+                             ", ".join(f"{k} {v:.4f}" for k, v in sorted(val.items())))
+
+            if cfg.save_models > 0 and epoch % cfg.save_models == 0:
+                pth = save_checkpoint(self.state, cfg, epoch)
+                rec["checkpoint"] = pth
+
+            self.history.append(rec)
+        return self.state

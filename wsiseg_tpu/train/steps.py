@@ -1,0 +1,185 @@
+"""Jitted train/eval steps for every trainer family.
+
+The reference's five trainers share one skeleton (SURVEY.md §1.6); here each
+is a pure step function closed over the model + optimizer and compiled once.
+Mixed-task batches are handled with per-row task masks and masked losses
+instead of the reference's shape-dynamic boolean indexing
+(``encoding[0][is_cls]``, train_cellularity.py:87) — identical math, static
+shapes (SURVEY.md §7 build plan item 6).
+
+Batches are dicts of device arrays:
+  image      (B, H, W, 3) float32, already normalized
+  seg_label  (B, H, W) int32      (zeros where not seg)
+  cls_label  (B,) int32           (-1 where not cls)
+  reg_label  (B,) float32         (0 where not reg)
+  is_cls / is_reg / is_seg  (B,) float32 {0, 1}
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wsiseg_tpu import losses
+from wsiseg_tpu.config import Config
+from wsiseg_tpu.train.state import TrainState
+
+
+def make_hybrid_train_step(model, tx: optax.GradientTransformation,
+                           cfg: Config,
+                           cls_weights: Optional[jnp.ndarray] = None,
+                           seg_weights: Optional[jnp.ndarray] = None,
+                           axis_name: str | None = None) -> Callable:
+    """Three-head step: xent(cls) + mse(reg) + xent(seg), summed — the
+    ``train_cellularity.py:86-108`` recipe (the consistent trainer per
+    SURVEY.md quirk list)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        l_cls = losses.cross_entropy(
+            out["cls"], batch["cls_label"], class_weights=cls_weights,
+            ignore_index=-1, sample_weight=batch["is_cls"])
+        l_reg = losses.mse(
+            out["reg"][:, 0], batch["reg_label"], sample_weight=batch["is_reg"])
+        l_seg = losses.cross_entropy(
+            out["seg"], batch["seg_label"], class_weights=seg_weights,
+            sample_weight=batch["is_seg"])
+        total = l_cls + l_reg + l_seg
+        aux = {"loss": total, "loss_cls": l_cls, "loss_reg": l_reg,
+               "loss_seg": l_seg, "batch_stats": mutated["batch_stats"]}
+        return total, aux
+
+    def step(state: TrainState, batch: Dict, rng) -> tuple[TrainState, Dict]:
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = {k: (jax.lax.pmean(v, axis_name) if k != "batch_stats" else v)
+                   for k, v in aux.items()}
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=new_params,
+                                  batch_stats=aux.pop("batch_stats"),
+                                  opt_state=new_opt, step=state.step + 1)
+        return new_state, aux
+
+    return step
+
+
+def make_seg_train_step(model, tx: optax.GradientTransformation, cfg: Config,
+                        class_weights: Optional[jnp.ndarray] = None,
+                        with_dice: bool = False,
+                        axis_name: str | None = None) -> Callable:
+    """Pure-segmentation step (train_ssr.py:41-60: selectable loss on the
+    decoder output, optionally + dice)."""
+    base = losses.loss_fn(
+        cfg.loss if cfg.loss in ("xent", "focal", "ohem", "cent", "dice",
+                                 "jaccard", "tversky") else "xent")
+
+    def loss_fn(params, batch_stats, batch, rng):
+        seg = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch["image"], train=True,
+                          mutable=["batch_stats"], rngs={"dropout": rng})
+        seg, mutated = seg
+        if isinstance(seg, dict):
+            seg = seg["seg"]
+        kwargs = {}
+        if cfg.loss in ("xent", "focal", "cent", "dice"):
+            kwargs["class_weights"] = class_weights
+        total = base(seg, batch["seg_label"], **kwargs)
+        if with_dice:
+            total = total + losses.dice(seg, batch["seg_label"],
+                                        class_weights=class_weights)
+        return total, {"loss": total, "batch_stats": mutated["batch_stats"]}
+
+    def step(state, batch, rng):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=aux.pop("batch_stats"),
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, aux
+
+    return step
+
+
+def make_cls_train_step(model, tx: optax.GradientTransformation, cfg: Config,
+                        class_weights: Optional[jnp.ndarray] = None,
+                        method=None,
+                        axis_name: str | None = None) -> Callable:
+    """Pure patch-classification step (train_p.py:55-80)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng}, **({"method": method} if method else {}))
+        if isinstance(out, dict):
+            out = out["cls"]
+        total = losses.cross_entropy(out, batch["cls_label"],
+                                     class_weights=class_weights,
+                                     ignore_index=-1,
+                                     sample_weight=batch.get("is_cls"))
+        acc_w = batch.get("is_cls", jnp.ones_like(batch["cls_label"], jnp.float32))
+        correct = (jnp.argmax(out, -1) == batch["cls_label"]).astype(jnp.float32)
+        acc = jnp.sum(correct * acc_w) / jnp.maximum(jnp.sum(acc_w), 1e-8)
+        return total, {"loss": total, "acc": acc,
+                       "batch_stats": mutated["batch_stats"]}
+
+    def step(state, batch, rng):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=aux.pop("batch_stats"),
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, aux
+
+    return step
+
+
+def make_hr_train_step(model, tx: optax.GradientTransformation, cfg: Config,
+                       class_weights: Optional[jnp.ndarray] = None,
+                       axis_name: str | None = None) -> Callable:
+    """Multi-patch region-ensemble step: loss on the ensemble logits
+    (train_hr.py:58-68). batch: images (B, P, H, W, 3), label (B,)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        (per_patch, ensemble), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        total = losses.cross_entropy(ensemble, batch["cls_label"],
+                                     class_weights=class_weights)
+        acc = jnp.mean((jnp.argmax(ensemble, -1) == batch["cls_label"])
+                       .astype(jnp.float32))
+        return total, {"loss": total, "acc": acc,
+                       "batch_stats": mutated["batch_stats"]}
+
+    def step(state, batch, rng):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=aux.pop("batch_stats"),
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, aux
+
+    return step
