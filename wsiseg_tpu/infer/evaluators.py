@@ -1,0 +1,208 @@
+"""High-level evaluators — capability twins of reference utils/eval.py.
+
+* :func:`predict_wsis`      — dense inference + metrics + color mask
+                              (utils/eval.py:22-152)
+* :func:`predict_tumorbed`  — dense inference + heatmap/overlay artifacts
+                              (utils/eval.py:155-286)
+* :func:`predict_reg`       — 4-way TTA regression over a patch dataset
+                              (utils/eval.py:289-351)
+* :func:`predict_breastpathq` — TTA regression + submission CSV
+                              (utils/eval.py:354-412)
+* :func:`predict_cls`       — classification accuracy/F1 (utils/eval.py:415-449)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from wsiseg_tpu.config import Config
+from wsiseg_tpu.data.patches import normalize_batch_images
+from wsiseg_tpu.data.wsi_tiles import SlideCollection
+from wsiseg_tpu.infer import metrics as M
+from wsiseg_tpu.infer import writers
+from wsiseg_tpu.infer.engine import DenseInferenceEngine, extract_tumor_bed
+from wsiseg_tpu.models.ynet import YNet
+from wsiseg_tpu.ops.threshold import pred_to_mask
+
+
+def _load_gt_artifacts(plan, shape_hw):
+    """GT rasters saved by preprocess/mk_gt.py next to the slide:
+    ``<slide>_mask.png`` (class codes) and ``<slide>_tumor_bed.png``."""
+    out = {}
+    if plan.path:
+        mask_pth = plan.path + "_mask.png"
+        if os.path.exists(mask_pth):
+            g = Image.open(mask_pth).resize((shape_hw[1], shape_hw[0]))
+            out["gt"] = np.array(g)
+        tb_pth = plan.path + "_tumor_bed.png"
+        if os.path.exists(tb_pth):
+            tb = Image.open(tb_pth).convert("L").resize(
+                (shape_hw[1], shape_hw[0]))
+            out["tb_gt"] = (np.array(tb) > 0).astype(np.uint8)
+    return out
+
+
+def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
+                 ep, fcn: bool = False, log: Callable = print) -> Dict:
+    """Per-slide dense prediction, tumor-bed extraction, metric report and
+    color-mask artifact. Returns {slide: metrics dict} plus '_mean_tb_iou'."""
+    cfg = engine.cfg
+    results = {}
+    ious_tb = []
+    for name, plan in collection.items():
+        res = engine.predict_slide_fcn(plan) if fcn else engine.predict_slide(plan)
+        h2w2 = plan.canvas_hw
+        tb_filled, tb_perim = extract_tumor_bed(res.labels)
+        gts = _load_gt_artifacts(plan, h2w2)
+
+        rec = {"num_tiles": res.num_tiles, "seconds": res.seconds,
+               "patches_per_sec": res.patches_per_sec}
+        if "gt" in gts:
+            gt = gts["gt"]
+            p = res.labels
+            rec["acc"] = M.masked_pixel_accuracy(p, gt)
+            rec["s"] = M.spie_score(p, gt, max_class=float(cfg.num_classes - 1))
+            p_masked = plan_mask_resized(plan, h2w2) * p
+            rec["acc_masked"] = M.masked_pixel_accuracy(p_masked, gt)
+            rec["s_masked"] = M.spie_score(p_masked, gt,
+                                           max_class=float(cfg.num_classes - 1))
+            rec["iou_fg"] = M.foreground_iou(p_masked, gt)
+        if "tb_gt" in gts:
+            rec["iou_tb"] = M.iou(tb_filled, gts["tb_gt"], eps=cfg.epsilon)
+            ious_tb.append(rec["iou_tb"])
+
+        # color-mask artifact with white tumor-bed perimeter
+        # (utils/eval.py:139-145)
+        mask2 = plan_mask_resized(plan, h2w2)
+        rgb = np.asarray(pred_to_mask(jnp.asarray(res.labels), cfg.num_classes))
+        rgb = mask2[..., None] * rgb
+        rgb[tb_perim > 0] = [255, 255, 255]
+        writers.save_color_mask(cfg, ep, name, rgb)
+
+        log(f"{name}, s {rec.get('s_masked', float('nan')):.3f}"
+            f"({rec.get('s', float('nan')):.3f}), "
+            f"acc {rec.get('acc_masked', float('nan')):.3f}"
+            f"({rec.get('acc', float('nan')):.3f}), "
+            f"fg iou {rec.get('iou_fg', float('nan')):.3f}, "
+            f"tb iou {rec.get('iou_tb', -1):.3f}, "
+            f"{res.patches_per_sec:.0f} patches/s")
+        results[name] = rec
+
+    mean_tb = float(np.mean(ious_tb)) if ious_tb else float("nan")
+    log(f"Average tb iou: {mean_tb:.3f}")
+    results["_mean_tb_iou"] = mean_tb
+    return results
+
+
+def plan_mask_resized(plan, hw) -> np.ndarray:
+    return DenseInferenceEngine._resize_mask_to(plan.mask, hw)
+
+
+def predict_tumorbed(engine: DenseInferenceEngine,
+                     collection: SlideCollection, ep,
+                     fcn: bool = False, log: Callable = print) -> Dict:
+    """Heatmap + overlay artifact generation (utils/eval.py:155-286)."""
+    cfg = engine.cfg
+    results = {}
+    for name, plan in collection.items():
+        res = engine.predict_slide_fcn(plan) if fcn else engine.predict_slide(plan)
+        heat_pth = writers.save_heatmap(cfg, ep, name, res.heatmap)
+        wsi2 = plan.slide.read_level(2)
+        overlay_pth = writers.save_overlay(cfg, ep, name, wsi2, res.heatmap)
+        results[name] = {"heatmap": heat_pth, "overlay": overlay_pth,
+                         "num_tiles": res.num_tiles,
+                         "seconds": res.seconds,
+                         "patches_per_sec": res.patches_per_sec}
+        log(f"{name}: {res.num_tiles} tiles in {res.seconds:.2f}s "
+            f"({res.patches_per_sec:.0f} patches/s)")
+    return results
+
+
+def _tta_variants(x: jnp.ndarray):
+    """The reference's 4-way TTA set (utils/eval.py:308-313): identity,
+    transpose(H,W), vertical flip, transpose+horizontal flip."""
+    return [
+        x,
+        jnp.transpose(x, (0, 2, 1, 3)),
+        x[:, ::-1, :, :],
+        jnp.transpose(x, (0, 2, 1, 3))[:, :, ::-1, :],
+    ]
+
+
+def predict_reg(model: YNet, variables, cfg: Config,
+                batches: Iterable[Dict], log: Callable = print) -> Dict:
+    """TTA-averaged regression over a patch dataset (utils/eval.py:289-351)."""
+
+    @jax.jit
+    def run(image_u8):
+        x = normalize_batch_images(image_u8, cfg)
+        preds = [model.apply(variables, v, method=YNet.regress)[:, 0]
+                 for v in _tta_variants(x)]
+        return sum(preds) / len(preds)
+
+    preds, gts = [], []
+    for b in batches:
+        p = np.asarray(run(jnp.asarray(b["image"])))
+        sel = b["is_reg"] > 0
+        preds.extend(p[sel])
+        gts.extend(b["reg_label"][sel])
+    rep = M.regression_report(preds, gts)
+    log(f"reg: l1 {rep['l1']:.3f}, mse {rep['mse']:.3f}")
+    return rep
+
+
+def predict_breastpathq(model: YNet, variables, cfg: Config, ep,
+                        dataset_path: str, label_csv_path: str,
+                        out_dir: str = ".") -> str:
+    """Reads the label CSV, TTA-regresses each referenced patch, clamps to
+    [0, 1], writes the submission CSV. Returns its path."""
+    import csv as _csv
+
+    @jax.jit
+    def run(image_u8):
+        x = normalize_batch_images(image_u8, cfg)
+        preds = [model.apply(variables, v, method=YNet.regress)[:, 0]
+                 for v in _tta_variants(x)]
+        return sum(preds) / len(preds)
+
+    rows = []
+    with open(label_csv_path) as f:
+        reader = _csv.reader(f)
+        next(reader)
+        for row in reader:
+            image_id, region_id = int(row[0]), int(row[1])
+            pth = os.path.join(dataset_path, f"{image_id}_{region_id}.tif")
+            img = Image.open(pth).convert("RGB").resize(
+                (cfg.tile_w, cfg.tile_h))
+            p = float(run(jnp.asarray(np.asarray(img)[None]))[0])
+            rows.append((image_id, region_id, min(max(p, 0.0), 1.0)))
+    return writers.write_breastpathq_csv(ep, rows, out_dir)
+
+
+def predict_cls(model: YNet, variables, cfg: Config,
+                batches: Iterable[Dict], log: Callable = print) -> Dict:
+    """Classification eval (utils/eval.py:415-449): accuracy + binary F1."""
+
+    @jax.jit
+    def run(image_u8):
+        x = normalize_batch_images(image_u8, cfg)
+        return jnp.argmax(model.apply(variables, x, method=YNet.classify), -1)
+
+    preds, gts = [], []
+    for b in batches:
+        p = np.asarray(run(jnp.asarray(b["image"])))
+        sel = b["is_cls"] > 0
+        preds.extend(p[sel])
+        gts.extend(b["cls_label"][sel])
+    preds, gts = np.asarray(preds), np.asarray(gts)
+    out = {"acc": M.accuracy(gts, preds), "f1": M.f1_score(gts, preds)}
+    cm = M.confusion_matrix(gts, preds, cfg.num_classes)
+    out["classwise_acc"] = M.classwise_accuracy(cm).tolist()
+    log(f"cls: acc {out['acc']:.3f}, f1 {out['f1']:.3f}")
+    return out

@@ -89,5 +89,8 @@ def init_ynet(cfg: Config, rng: jax.Array, tile_hw: tuple[int, int] | None = Non
     model = build_ynet(cfg, axis_name=axis_name)
     h, w = tile_hw if tile_hw is not None else (cfg.tile_h, cfg.tile_w)
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit the init: eager flax init dispatches hundreds of ops one by one
+    # (~80s on CPU for the 512² Y-Net); compiled it is a few seconds.
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, dummy, train=False)
     return model, variables

@@ -160,6 +160,61 @@ class SyntheticSlide(ArraySlide):
         return g[: wh[1], : wh[0]]
 
 
+class VirtualPyramidSlide:
+    """A pyramid where only some levels are materialized.
+
+    Declares full Aperio-style geometry (``level_spacing``× per level) but
+    stores arrays only for the levels provided — e.g. benchmark slides that
+    are processed entirely at level 2 and would need a multi-GB level 0.
+    Reads from absent levels raise.
+    """
+
+    def __init__(self, levels: dict, num_levels: int = 3,
+                 level_spacing: int = 4):
+        if not levels:
+            raise ValueError("need at least one materialized level")
+        self._levels = dict(levels)
+        self._spacing = level_spacing
+        k0 = min(self._levels)
+        h0, w0 = self._levels[k0].shape[:2]
+        self._dims = []
+        for k in range(num_levels):
+            f = level_spacing ** (k0 - k)
+            self._dims.append((int(w0 * f), int(h0 * f)))
+
+    @property
+    def level_count(self) -> int:
+        return len(self._dims)
+
+    @property
+    def level_dimensions(self):
+        return tuple(self._dims)
+
+    @property
+    def level_downsamples(self):
+        return tuple(float(self._spacing ** k) for k in range(len(self._dims)))
+
+    def read_level(self, level: int) -> np.ndarray:
+        if level not in self._levels:
+            raise KeyError(f"level {level} not materialized")
+        return self._levels[level]
+
+    def read_region(self, location, level, size):
+        lv = self.read_level(level)
+        ds = self.level_downsamples[level]
+        x0, y0 = int(location[0] / ds), int(location[1] / ds)
+        w, h = int(size[0]), int(size[1])
+        out = np.full((h, w, 3), 255, dtype=np.uint8)
+        sy0, sy1 = max(0, y0), min(lv.shape[0], y0 + h)
+        sx0, sx1 = max(0, x0), min(lv.shape[1], x0 + w)
+        if sy1 > sy0 and sx1 > sx0:
+            out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = lv[sy0:sy1, sx0:sx1]
+        return out
+
+    def close(self) -> None:
+        pass
+
+
 def open_slide(path: str) -> SlideReader:
     """Open a slide file by extension.
 
