@@ -1,0 +1,98 @@
+"""Shared CLI plumbing: model/state construction, resume, preprocessing."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsiseg_tpu.config import Config
+from wsiseg_tpu.data.patches import normalize_batch_images
+from wsiseg_tpu.optim import build_optimizer
+from wsiseg_tpu.train.state import (TrainState, latest_checkpoint,
+                                    restore_checkpoint)
+
+
+def setup_ynet(cfg: Config, tile_hw: Optional[Tuple[int, int]] = None):
+    """Build Y-Net + optimizer + TrainState, resuming when
+    ``cfg.continue_train`` (reference utils/networks.py:4-12 semantics:
+    restored epoch + 1). Returns (model, tx, state, start_epoch)."""
+    from wsiseg_tpu.models.ynet import init_ynet
+
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(cfg.seed),
+                                 tile_hw=tile_hw)
+    tx = build_optimizer(cfg)
+    state = TrainState.create(variables, tx)
+    start_epoch = cfg.start_epoch
+    if cfg.continue_train:
+        pth = latest_checkpoint(cfg.train_model_pth)
+        if pth:
+            state, start_epoch = restore_checkpoint(pth, state)
+            print(f"resumed from {pth} (epoch {start_epoch})")
+    return model, tx, state, start_epoch
+
+
+def setup_hr(cfg: Config):
+    """Build the multi-patch region-ensemble model (reference
+    resnets_shift.resnet18, train_hr.py:21-22)."""
+    from wsiseg_tpu.data.regions import (HR_NUM_SAMPLES, HR_PATCH_H,
+                                         HR_PATCH_W)
+    from wsiseg_tpu.models.ensemble import MultiPatchResNet
+
+    model = MultiPatchResNet(arch=cfg.arch_encoder,
+                             num_classes=cfg.num_classes,
+                             num_patches=HR_NUM_SAMPLES,
+                             dtype=jnp.dtype(cfg.compute_dtype),
+                             param_dtype=jnp.dtype(cfg.param_dtype))
+    dummy = jnp.zeros((1, HR_NUM_SAMPLES, HR_PATCH_H, HR_PATCH_W, 3),
+                      jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(cfg.seed), dummy, train=False)
+    tx = build_optimizer(cfg)
+    state = TrainState.create(variables, tx)
+    start_epoch = cfg.start_epoch
+    if cfg.continue_train:
+        pth = latest_checkpoint(cfg.train_model_pth)
+        if pth:
+            state, start_epoch = restore_checkpoint(pth, state)
+            print(f"resumed from {pth} (epoch {start_epoch})")
+    return model, tx, state, start_epoch
+
+
+def restore_for_eval(cfg: Config, setup=setup_ynet):
+    """Restore the eval checkpoint (reference eval*.py:21-35)."""
+    model, tx, state, _ = setup(cfg)
+    pth = latest_checkpoint(cfg.eval_model_pth)
+    if pth:
+        state, epoch = restore_checkpoint(pth, state)
+        print(f"restored {pth} (epoch {epoch - 1})")
+    else:
+        epoch = cfg.start_epoch
+        print(f"WARNING: no checkpoint at {cfg.eval_model_pth}; "
+              "using fresh weights")
+    return model, state, epoch - 1
+
+
+def make_preprocess(cfg: Config, train: bool = True):
+    """Jitted device-side batch preprocessing: uint8 → normalized float
+    (+ color jitter when training)."""
+
+    def preprocess(batch, rng):
+        out = dict(batch)
+        img = batch["image"]
+        if img.ndim == 5:
+            b, p = img.shape[:2]
+            flat = normalize_batch_images(
+                img.reshape(b * p, *img.shape[2:]), cfg, rng, train=train)
+            out["image"] = flat.reshape(b, p, *flat.shape[1:])
+        else:
+            out["image"] = normalize_batch_images(img, cfg, rng, train=train)
+        return out
+
+    return jax.jit(preprocess)
+
+
+def variables_of(state: TrainState) -> dict:
+    return {"params": state.params, "batch_stats": state.batch_stats}

@@ -1,0 +1,61 @@
+"""Hybrid classification+segmentation trainer — reference ``train.py``.
+
+Builds the Y-Net, trains on a gt.npy patch store with mixed cls/seg rows
+(routed by per-row task masks instead of boolean indexing), validates with
+full-WSI dense inference (reference train.py:108-109 → predict_wsis), and
+checkpoints on the ``save_models`` cadence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from wsiseg_tpu.cli.common import (make_preprocess, setup_ynet, variables_of)
+from wsiseg_tpu.config import Config, parse_args
+from wsiseg_tpu.data.patches import PatchDataset, cls_weights
+from wsiseg_tpu.train.loop import Trainer
+from wsiseg_tpu.train.steps import make_hybrid_train_step
+
+
+def train(cfg: Config) -> Trainer:
+    model, tx, state, start_epoch = setup_ynet(cfg)
+
+    wc, ws = cls_weights(cfg.train_image_pth, cfg)
+    step = jax.jit(make_hybrid_train_step(
+        model, tx, cfg, cls_weights=jnp.asarray(wc), seg_weights=jnp.asarray(ws)))
+
+    ds = PatchDataset(cfg.train_image_pth, cfg)
+
+    validate_fn = None
+    if cfg.raw_val_pth:
+        def validate_fn(st, epoch):
+            import os
+            if not os.path.isdir(cfg.raw_val_pth):
+                return {}
+            from wsiseg_tpu.data.wsi_tiles import SlideCollection
+            from wsiseg_tpu.infer.engine import DenseInferenceEngine
+            from wsiseg_tpu.infer.evaluators import predict_wsis
+            collection = SlideCollection(cfg.raw_val_pth, cfg)
+            if not len(collection):
+                return {}
+            engine = DenseInferenceEngine(model, variables_of(st), cfg)
+            res = predict_wsis(engine, collection, epoch)
+            return {"mean_tb_iou": res.get("_mean_tb_iou", float("nan"))}
+
+    trainer = Trainer(cfg, state, step,
+                      make_batches=lambda: ds.batches(drop_remainder=True),
+                      preprocess_batch=make_preprocess(cfg),
+                      validate_fn=validate_fn)
+    trainer.run(start_epoch=start_epoch)
+    return trainer
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,8 +45,10 @@ def read_aperio_xml(filename: str):
 
     labels, coords, lengths, areas = [], [], [], []
     for r in regions:
-        areas.append(float(r.get("AreaMicrons")))
-        lengths.append(float(r.get("LengthMicrons")))
+        # Area/Length attributes are informational; tolerate their absence
+        # (some exporters omit them)
+        areas.append(float(r.get("AreaMicrons") or 0.0))
+        lengths.append(float(r.get("LengthMicrons") or 0.0))
         label = None
         try:
             label = r[0][0].get("Value")
