@@ -31,6 +31,9 @@ COMMANDS = {
                    "tumor-bed overlay rendering (paper_tools)"),
     "check-fp": ("wsiseg_tpu.paper_tools.check_for_false_positives",
                  "slide-level FP screening (paper_tools)"),
+    "closest-regionproposal": (
+        "wsiseg_tpu.paper_tools.closest_regionproposal",
+        "region perimeter/keypoint analysis (closest_regionproposal.py)"),
 }
 
 

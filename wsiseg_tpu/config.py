@@ -95,6 +95,8 @@ class Config:
     # ---- TPU-native additions (no reference equivalent) ----
     compute_dtype: str = "bfloat16"      # dtype for conv/matmul compute
     param_dtype: str = "float32"         # dtype for parameters / BN stats
+    norm_dtype: str = "float32"          # dtype for BatchNorm math (bf16 for
+                                         # inference-only throughput)
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
     prefetch_depth: int = 2              # host→device pipeline depth

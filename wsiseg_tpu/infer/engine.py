@@ -163,7 +163,10 @@ class DenseInferenceEngine:
             # P(DCIS) + P(invasive), tissue-masked (utils/eval.py:223-225)
             heat = probs[..., 2] + probs[..., 3]
         heat = heat * (mask_u8 > 0)
-        return labels, probs, heat
+        # quantize on device: the heatmap artifact is a u8 PNG anyway
+        # (utils/eval.py:227-229) and u8 is 4x less D2H traffic
+        heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0, 255).astype(jnp.uint8)
+        return labels, probs, heat_u8
 
     # ---- public API ----
 
@@ -194,6 +197,74 @@ class DenseInferenceEngine:
 
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
 
+    def predict_slide_streamed(self, plan: SlidePlan,
+                               nthreads: int = 8,
+                               keep_canvas: bool = False,
+                               keep_probs: bool = False) -> SlideResult:
+        """Streamed dense inference: tile batches decoded on the host
+        (multi-threaded C++ reader when the slide supports ``read_tiles``,
+        else per-tile ``read_region``) and prefetched to the device while
+        the previous batch computes. Use when the scan-level image is too
+        large for an HBM-resident canvas gather (e.g. scan_level 0/1) or
+        for file-backed slides without a materializable level.
+
+        Stitching semantics match :meth:`predict_slide` exactly.
+        """
+        from wsiseg_tpu.data.pipeline import prefetch_to_device
+
+        cfg = self.cfg
+        t0 = time.time()
+        h2, w2 = plan.canvas_hw
+        canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+
+        xs, ys = plan.grid.xs, plan.grid.ys
+        n = len(xs)
+        bs = self.batch
+        pad = (-n) % bs
+        xs_p = np.concatenate([xs, np.zeros(pad, np.int32)]).reshape(-1, bs)
+        ys_p = np.concatenate([ys, np.zeros(pad, np.int32)]).reshape(-1, bs)
+        valid = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(pad, np.float32)]).reshape(-1, bs)
+
+        slide = plan.slide
+        ds_lvl = slide.level_downsamples[cfg.scan_level]
+        reader = getattr(slide, "read_tiles", None)
+
+        def host_batches():
+            for bi in range(xs_p.shape[0]):
+                bx, by = xs_p[bi], ys_p[bi]
+                if reader is not None:
+                    tiles = reader(bx, by, cfg.scan_level,
+                                   cfg.tile_w, cfg.tile_h, nthreads=nthreads)
+                else:
+                    tiles = np.stack([
+                        slide.read_region(
+                            (int(x * ds_lvl), int(y * ds_lvl)),
+                            cfg.scan_level, (cfg.tile_w, cfg.tile_h))
+                        for x, y in zip(bx, by)])
+                yield {"tiles": tiles, "ys": by.astype(np.int32),
+                       "xs": bx.astype(np.int32),
+                       "valid": valid[bi]}
+
+        step = jax.jit(self._streamed_batch, donate_argnums=(0,))
+        for b in prefetch_to_device(host_batches(),
+                                    depth=cfg.prefetch_depth):
+            canvas = step(canvas, b["tiles"], b["ys"], b["xs"], b["valid"])
+
+        return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def _streamed_batch(self, canvas, tiles_u8, ys, xs, valid):
+        cfg = self.cfg
+        x = self._normalize(tiles_u8)
+        if self.mode == "cls":
+            logits = self.model.apply(self.variables, x, method=YNet.classify)
+            logits = logits * valid[:, None]
+            return scatter_add_scalar_tiles(canvas, logits, ys, xs,
+                                            cfg.tile_h, cfg.tile_w)
+        seg = self.model.apply(self.variables, x, method=YNet.segment)
+        seg = seg * valid[:, None, None, None]
+        return scatter_add_tiles(canvas, seg, ys, xs)
+
     def predict_slide_fcn(self, plan: SlidePlan, chunk: int = 1024,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False) -> SlideResult:
@@ -218,15 +289,134 @@ class DenseInferenceEngine:
         return self._finish(plan, canvas, len(plan.grid), t0,
                             keep_canvas, keep_probs)
 
+    def predict_slide_sharded(self, plan: SlidePlan, mesh,
+                              axis: str = "data",
+                              keep_canvas: bool = False,
+                              keep_probs: bool = False) -> SlideResult:
+        """Multi-chip dense inference over one slide.
+
+        The tile stream is sharded across the mesh's ``axis``: every device
+        runs the gather→forward→overlap-add pipeline on its own subset of
+        tiles into a device-local canvas; one ``psum`` over ICI merges the
+        partial canvases (the reference's analog would be host-side — it has
+        no multi-device path at all, SURVEY.md §2.c). The level image is
+        replicated (one broadcast); stitching math is identical to
+        :meth:`predict_slide`.
+        """
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.cfg
+        t0 = time.time()
+        n_dev = mesh.shape[axis]
+        bs = self.batch
+
+        level_img = jax.device_put(
+            jnp.asarray(plan.slide.read_level(cfg.scan_level)),
+            NamedSharding(mesh, P()))
+        h2, w2 = plan.canvas_hw
+
+        xs, ys = plan.grid.xs, plan.grid.ys
+        n = len(xs)
+        # pad so tiles split evenly into (n_dev, batches_per_dev, bs)
+        pad = (-n) % (n_dev * bs)
+        xs_p = np.concatenate([xs, np.zeros(pad, np.int32)])
+        ys_p = np.concatenate([ys, np.zeros(pad, np.int32)])
+        valid = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(pad, np.float32)])
+        per_dev = (n + pad) // n_dev
+        n_batches = per_dev // bs
+        shape3 = (n_dev, n_batches, bs)
+        sh = NamedSharding(mesh, P(axis))
+        xs_d = jax.device_put(xs_p.reshape(shape3), sh)
+        ys_d = jax.device_put(ys_p.reshape(shape3), sh)
+        val_d = jax.device_put(valid.reshape(shape3), sh)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis), P(axis)),
+                 out_specs=P(), check_rep=False)
+        def run(img, ys_s, xs_s, val_s):
+            canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+
+            def body(i, cv):
+                return self._seg_tile_batch(img, cv, ys_s[0, i], xs_s[0, i],
+                                            val_s[0, i])
+
+            canvas = jax.lax.fori_loop(0, n_batches, body, canvas)
+            return jax.lax.psum(canvas, axis)
+
+        canvas = jax.jit(run)(level_img, ys_d, xs_d, val_d)
+        return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def device_throughput(self, plan: SlidePlan, mode: str = "grid",
+                          iters: int = 3, chunk: int = 2048,
+                          halo: int = 128) -> Dict[str, float]:
+        """Steady-state single-chip throughput with the slide HBM-resident.
+
+        Measures the compute path alone (gather → forward → overlap-add →
+        postprocess) — the per-chip number that scales across a pod where
+        slide uploads overlap compute on other slides. Returns
+        ``{"patches_per_sec", "sec_per_slide"}`` in grid-equivalent patches
+        (len(plan.grid)) for comparability across modes.
+        """
+        cfg = self.cfg
+        n = len(plan.grid)
+        h2, w2 = plan.canvas_hw
+        img = np.asarray(plan.slide.read_level(cfg.scan_level))
+        mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
+
+        if mode == "fcn":
+            h, w = img.shape[:2]
+            ny, nx = -(-h // chunk), -(-w // chunk)
+            img_pad = jnp.asarray(np.pad(
+                img, ((halo, halo + ny * chunk - h),
+                      (halo, halo + nx * chunk - w), (0, 0)),
+                constant_values=255))
+
+            def run():
+                cv = self._fcn_full(img_pad, chunk=chunk, halo=halo,
+                                    ny=ny, nx=nx)[:h2, :w2]
+                return self._post(cv, mask)
+        else:
+            level_img = jnp.asarray(img)
+            xs, ys = plan.grid.xs, plan.grid.ys
+            bs = self.batch
+            pad = (-n) % bs
+            xs_p = jnp.asarray(np.concatenate(
+                [xs, np.zeros(pad, np.int32)]).reshape(-1, bs))
+            ys_p = jnp.asarray(np.concatenate(
+                [ys, np.zeros(pad, np.int32)]).reshape(-1, bs))
+            valid = jnp.asarray(np.concatenate(
+                [np.ones(n, np.float32),
+                 np.zeros(pad, np.float32)]).reshape(-1, bs))
+            n_batches = xs_p.shape[0]
+            run_pass = self._seg_full if self.mode == "seg" else self._cls_full
+
+            def run():
+                canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+                cv = run_pass(level_img, canvas, ys_p, xs_p, valid,
+                              n_batches=n_batches, bs=bs)
+                return self._post(cv, mask)
+
+        jax.block_until_ready(run())      # compile + warm
+        t0 = time.time()
+        for _ in range(iters):
+            out = run()
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        return {"patches_per_sec": n / dt if dt > 0 else 0.0,
+                "sec_per_slide": dt}
+
     def _finish(self, plan: SlidePlan, canvas, n_tiles: int, t0: float,
                 keep_canvas: bool, keep_probs: bool) -> SlideResult:
         h2, w2 = plan.canvas_hw
         mask = self._resize_mask_to(plan.mask, (h2, w2))
-        labels, probs, heat = self._post(canvas, jnp.asarray(mask))
-        # fetch only the small artifacts (labels u8 + heatmap f32); the
-        # (H, W, C) probs volume stays on device unless requested
-        labels, heat = jax.block_until_ready((labels, heat))
-        labels, heat = np.asarray(labels), np.asarray(heat)
+        labels, probs, heat_u8 = self._post(canvas, jnp.asarray(mask))
+        # fetch only the small u8 artifacts; the (H, W, C) probs volume
+        # stays on device unless requested
+        labels, heat_u8 = jax.block_until_ready((labels, heat_u8))
+        labels = np.asarray(labels)
+        heat = np.asarray(heat_u8).astype(np.float32) / 255.0
         kept_probs = np.asarray(probs) if keep_probs else None
         kept_canvas = np.asarray(canvas) if keep_canvas else None
         dt = time.time() - t0

@@ -1,0 +1,184 @@
+"""FPN / PSPNet / Linknet decoders (smp-style) in flax.
+
+The reference selects among Unet/FPN/PSPNet/Linknet by name through
+``eval('smp.' + args.model_name)`` (train.py:29, myargs.py:9-10); here each
+is an explicit module with the same macro-architecture as the
+segmentation_models_pytorch defaults, consuming the deepest-first encoder
+feature pyramid [c5, c4, c3, c2, c1] and emitting (B, H, W, num_classes)
+float32 logits at input resolution (activation=None, logits out).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _resize_nearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, h, w, c), method="nearest")
+
+
+def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, h, w, c), method="linear")
+
+
+class FPNDecoder(nn.Module):
+    """Feature Pyramid Network head (smp FPN defaults: pyramid 256,
+    segmentation 128, merge by sum, ×4 final upsample)."""
+    num_classes: int = 4
+    pyramid_channels: int = 256
+    segmentation_channels: int = 128
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       dtype=self.norm_dtype, param_dtype=self.param_dtype,
+                       axis_name=self.axis_name if train else None)
+
+        c5, c4, c3, c2 = [f.astype(self.dtype) for f in features[:4]]
+
+        # lateral 1×1 + top-down pathway
+        p5 = conv(self.pyramid_channels, (1, 1), name="lat5")(c5)
+        p4 = conv(self.pyramid_channels, (1, 1), name="lat4")(c4) + \
+            _resize_nearest(p5, c4.shape[1], c4.shape[2])
+        p3 = conv(self.pyramid_channels, (1, 1), name="lat3")(c3) + \
+            _resize_nearest(p4, c3.shape[1], c3.shape[2])
+        p2 = conv(self.pyramid_channels, (1, 1), name="lat2")(c2) + \
+            _resize_nearest(p3, c2.shape[1], c2.shape[2])
+
+        # segmentation blocks: 3×3 conv + GN-free BN + relu, with n
+        # upsamples down to the p2 (1/4) scale
+        def seg_block(p, n_up, name):
+            x = p
+            for k in range(max(n_up, 1)):
+                x = conv(self.segmentation_channels, (3, 3),
+                         padding=[(1, 1), (1, 1)], use_bias=False,
+                         name=f"{name}_conv{k}")(x)
+                x = norm(name=f"{name}_bn{k}")(x)
+                x = nn.relu(x)
+                if k < n_up:
+                    x = _resize_nearest(x, 2 * x.shape[1], 2 * x.shape[2])
+            return x
+
+        s5 = seg_block(p5, 3, "seg5")
+        s4 = seg_block(p4, 2, "seg4")
+        s3 = seg_block(p3, 1, "seg3")
+        s2 = seg_block(p2, 0, "seg2")
+        x = s5 + s4 + s3 + s2          # merge="add" (smp default)
+
+        x = conv(self.num_classes, (1, 1), name="seg_head")(x)
+        # ×4 back to input resolution
+        x = _resize_bilinear(x, 4 * x.shape[1], 4 * x.shape[2])
+        return x.astype(jnp.float32)
+
+
+class PSPDecoder(nn.Module):
+    """Pyramid Scene Parsing head: adaptive-pool pyramid (1, 2, 3, 6 bins)
+    over the deepest feature, 1×1 conv each, upsample + concat, 3×3 fuse,
+    classify, upsample to input resolution."""
+    num_classes: int = 4
+    bins: Sequence[int] = (1, 2, 3, 6)
+    fuse_channels: int = 512
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       dtype=self.norm_dtype, param_dtype=self.param_dtype,
+                       axis_name=self.axis_name if train else None)
+
+        c5 = features[0].astype(self.dtype)
+        b, h, w, c = c5.shape
+        branch_ch = max(c // len(self.bins), 1)
+
+        outs = [c5]
+        for bi, nbins in enumerate(self.bins):
+            # adaptive average pool ≈ antialiased linear resize to the bin
+            # grid (exact when h, w divide nbins)
+            pooled = jax.image.resize(c5.astype(jnp.float32),
+                                      (b, nbins, nbins, c), method="linear",
+                                      antialias=True).astype(self.dtype)
+            x = conv(branch_ch, (1, 1), use_bias=False,
+                     name=f"psp{bi}_conv")(pooled)
+            x = norm(name=f"psp{bi}_bn")(x)
+            x = nn.relu(x)
+            outs.append(_resize_bilinear(x, h, w))
+
+        x = jnp.concatenate(outs, axis=-1)
+        x = conv(self.fuse_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                 use_bias=False, name="fuse_conv")(x)
+        x = norm(name="fuse_bn")(x)
+        x = nn.relu(x)
+        x = conv(self.num_classes, (1, 1), name="seg_head")(x)
+        x = _resize_bilinear(x, 32 * h, 32 * w)  # c5 is at /32
+        return x.astype(jnp.float32)
+
+
+class LinknetDecoderBlock(nn.Module):
+    out_channels: int
+    conv: Any
+    norm: Any
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        in_ch = x.shape[-1]
+        mid = max(in_ch // 4, 1)
+        x = self.conv(mid, (1, 1), use_bias=False, name="conv1")(x)
+        x = nn.relu(self.norm(name="bn1")(x))
+        x = _resize_nearest(x, 2 * x.shape[1], 2 * x.shape[2])
+        x = self.conv(mid, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                      name="conv2")(x)
+        x = nn.relu(self.norm(name="bn2")(x))
+        x = self.conv(self.out_channels, (1, 1), use_bias=False,
+                      name="conv3")(x)
+        x = nn.relu(self.norm(name="bn3")(x))
+        if skip is not None:
+            x = x + skip.astype(x.dtype)   # residual skip (Linknet)
+        return x
+
+
+class LinknetDecoder(nn.Module):
+    """Linknet: each decoder block residual-adds the encoder skip."""
+    num_classes: int = 4
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, features, train: bool = False):
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=1e-5,
+                       dtype=self.norm_dtype, param_dtype=self.param_dtype,
+                       axis_name=self.axis_name if train else None)
+
+        x = features[0].astype(self.dtype)
+        skips = list(features[1:]) + [None]
+        for i, skip in enumerate(skips):
+            out_ch = skip.shape[-1] if skip is not None else 32
+            x = LinknetDecoderBlock(out_ch, conv=conv, norm=norm,
+                                    name=f"block{i}")(x, skip)
+        x = conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+                 name="seg_head")(x)
+        return x.astype(jnp.float32)

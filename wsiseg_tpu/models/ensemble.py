@@ -30,6 +30,7 @@ class MultiPatchResNet(nn.Module):
     num_patches: int = 16          # HR_NUM_CNT_SAMPLES + HR_NUM_PERIM_SAMPLES
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
     axis_name: str | None = None
 
     @nn.compact
@@ -44,6 +45,7 @@ class MultiPatchResNet(nn.Module):
         x = xs.reshape(b * p, h, w, c)
         feats = ResNetEncoder(arch=self.arch, dtype=self.dtype,
                               param_dtype=self.param_dtype,
+                              norm_dtype=self.norm_dtype,
                               axis_name=self.axis_name, name="trunk")(x, train=train)
         # GAP over the deepest stage → (B·P, F)
         f = jnp.mean(feats[0].astype(self.dtype), axis=(1, 2))

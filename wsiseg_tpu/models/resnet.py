@@ -99,6 +99,7 @@ class ResNetEncoder(nn.Module):
     arch: str = "resnet18"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None  # set for cross-device BN-stat sync
 
@@ -108,7 +109,7 @@ class ResNetEncoder(nn.Module):
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=self.bn_momentum, epsilon=1e-5,
-                       dtype=jnp.float32, param_dtype=self.param_dtype,
+                       dtype=self.norm_dtype, param_dtype=self.param_dtype,
                        axis_name=self.axis_name if train else None)
 
         x = x.astype(self.dtype)

@@ -47,6 +47,7 @@ class UNetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
 
@@ -57,7 +58,7 @@ class UNetDecoder(nn.Module):
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=self.bn_momentum, epsilon=1e-5,
-                       dtype=jnp.float32, param_dtype=self.param_dtype,
+                       dtype=self.norm_dtype, param_dtype=self.param_dtype,
                        axis_name=self.axis_name if train else None)
 
         x = features[0].astype(self.dtype)

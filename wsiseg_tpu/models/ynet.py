@@ -28,19 +28,29 @@ class YNet(nn.Module):
     decoder: str = "Unet"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
     axis_name: str | None = None
 
     def setup(self):
         self.encoder_m = ResNetEncoder(
             arch=self.arch, dtype=self.dtype, param_dtype=self.param_dtype,
+            norm_dtype=self.norm_dtype,
             axis_name=self.axis_name, name="encoder")
+        decoder_cls = {
+            "Unet": UNetDecoder,
+        }
         if self.decoder != "Unet":
-            # FPN/PSPNet/Linknet decoders tracked as future parity work;
-            # the reference default and all trainers use Unet.
-            raise NotImplementedError(f"decoder {self.decoder!r} not yet built")
-        self.decoder_m = UNetDecoder(
+            from wsiseg_tpu.models.decoders import (FPNDecoder,
+                                                    LinknetDecoder,
+                                                    PSPDecoder)
+            decoder_cls.update({"FPN": FPNDecoder, "PSPNet": PSPDecoder,
+                                "Linknet": LinknetDecoder})
+        if self.decoder not in decoder_cls:
+            raise ValueError(f"unknown decoder {self.decoder!r}")
+        self.decoder_m = decoder_cls[self.decoder](
             num_classes=self.num_classes, dtype=self.dtype,
-            param_dtype=self.param_dtype, axis_name=self.axis_name,
+            param_dtype=self.param_dtype, norm_dtype=self.norm_dtype,
+            axis_name=self.axis_name,
             name="decoder")
         self.classifier_m = Classifier(
             self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -80,6 +90,7 @@ def build_ynet(cfg: Config, axis_name: str | None = None) -> YNet:
                 decoder=cfg.model_name,
                 dtype=jnp.dtype(cfg.compute_dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
+                norm_dtype=jnp.dtype(getattr(cfg, 'norm_dtype', 'float32')),
                 axis_name=axis_name)
 
 
