@@ -290,10 +290,20 @@ class HRRegionDataset:
                 patches[cj] = crop
         else:
             scan = self.wsis[item["wsipath"]]
-            for cj, (x, y) in enumerate(centers):
-                patches[cj] = scan.read_region(
-                    (int(x), int(y)), HR_SCAN_LEVEL,
-                    (HR_PATCH_W, HR_PATCH_H))
+            read_tiles = getattr(scan, "read_tiles", None)
+            if read_tiles is not None:
+                # batched threaded decode (native C++ reader); read_tiles
+                # takes level coordinates — centers are level-0 (map_points)
+                ds = scan.level_downsamples[HR_SCAN_LEVEL]
+                patches[:] = read_tiles(
+                    (centers[:, 0] / ds).astype(np.int64),
+                    (centers[:, 1] / ds).astype(np.int64),
+                    HR_SCAN_LEVEL, HR_PATCH_W, HR_PATCH_H)
+            else:
+                for cj, (x, y) in enumerate(centers):
+                    patches[cj] = scan.read_region(
+                        (int(x), int(y)), HR_SCAN_LEVEL,
+                        (HR_PATCH_W, HR_PATCH_H))
         if not self.eval:
             # random 90° rotation per patch (dataset_hr.py:194-196)
             for cj in range(HR_NUM_SAMPLES):

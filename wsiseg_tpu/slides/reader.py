@@ -223,7 +223,7 @@ def open_slide(path: str) -> SlideReader:
     is decoded with PIL as a single-level slide.
     """
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".svs", ".tif", ".tiff"):
+    if ext in (".svs", ".tif", ".tiff", ".wsiraw"):
         from wsiseg_tpu.slides.native import NativeSlide
         return NativeSlide(path)
     if ext == ".npy":
