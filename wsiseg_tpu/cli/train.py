@@ -31,6 +31,8 @@ def train(cfg: Config) -> Trainer:
 
     validate_fn = None
     if cfg.raw_val_pth:
+        cache = {}
+
         def validate_fn(st, epoch):
             import os
             if not os.path.isdir(cfg.raw_val_pth):
@@ -38,11 +40,15 @@ def train(cfg: Config) -> Trainer:
             from wsiseg_tpu.data.wsi_tiles import SlideCollection
             from wsiseg_tpu.infer.engine import DenseInferenceEngine
             from wsiseg_tpu.infer.evaluators import predict_wsis
-            collection = SlideCollection(cfg.raw_val_pth, cfg)
-            if not len(collection):
+            if "collection" not in cache:
+                cache["collection"] = SlideCollection(cfg.raw_val_pth, cfg)
+                cache["engine"] = DenseInferenceEngine(
+                    model, variables_of(st), cfg)
+            if not len(cache["collection"]):
                 return {}
-            engine = DenseInferenceEngine(model, variables_of(st), cfg)
-            res = predict_wsis(engine, collection, epoch)
+            # refresh weights without recompiling the jitted passes
+            cache["engine"].variables = variables_of(st)
+            res = predict_wsis(cache["engine"], cache["collection"], epoch)
             return {"mean_tb_iou": res.get("_mean_tb_iou", float("nan"))}
 
     trainer = Trainer(cfg, state, step,

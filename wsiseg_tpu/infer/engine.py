@@ -83,7 +83,7 @@ class DenseInferenceEngine:
         self._cls_full = jax.jit(self._cls_full_pass,
                                  static_argnames=("n_batches", "bs"))
         self._fcn_full = jax.jit(self._fcn_full_pass,
-                                 static_argnames=("chunk", "halo", "ny", "nx"))
+                                 static_argnames=("chunk_h", "chunk_w", "halo", "ny", "nx"))
         self._post = jax.jit(self._postprocess)
 
     # ---- jitted passes ----
@@ -92,7 +92,7 @@ class DenseInferenceEngine:
         x = tiles_u8.astype(jnp.float32) / 255.0
         return normalize(x, self.cfg.dataset_mean, self.cfg.dataset_std)
 
-    def _seg_tile_batch(self, level_img, canvas, ys, xs, valid):
+    def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid):
         cfg = self.cfg
         tiles = gather_tiles(level_img, ys, xs, cfg.tile_h, cfg.tile_w)
         x = self._normalize(tiles)
@@ -101,7 +101,7 @@ class DenseInferenceEngine:
             x = jax.image.resize(
                 x, (b, cfg.tile_h // cfg.scan_resize,
                     cfg.tile_w // cfg.scan_resize, 3), "linear")
-        seg = self.model.apply(self.variables, x, method=YNet.segment)
+        seg = self.model.apply(variables, x, method=YNet.segment)
         if seg.shape[1] != cfg.tile_h:
             seg = jax.image.resize(
                 seg, (seg.shape[0], cfg.tile_h, cfg.tile_w, seg.shape[-1]),
@@ -109,51 +109,66 @@ class DenseInferenceEngine:
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
-    def _seg_full_pass(self, level_img, canvas, ys_all, xs_all, valid_all,
-                       *, n_batches: int, bs: int):
+    def _seg_full_pass(self, variables, level_img, canvas, ys_all, xs_all,
+                       valid_all, *, n_batches: int, bs: int):
         """Whole slide in one dispatch: fori_loop over (n_batches, bs) tiles."""
 
         def body(i, cv):
-            return self._seg_tile_batch(level_img, cv, ys_all[i], xs_all[i],
-                                        valid_all[i])
+            return self._seg_tile_batch(variables, level_img, cv, ys_all[i],
+                                        xs_all[i], valid_all[i])
 
         return jax.lax.fori_loop(0, n_batches, body, canvas)
 
-    def _cls_full_pass(self, level_img, canvas, ys_all, xs_all, valid_all,
-                       *, n_batches: int, bs: int):
+    def _cls_full_pass(self, variables, level_img, canvas, ys_all, xs_all,
+                       valid_all, *, n_batches: int, bs: int):
         cfg = self.cfg
 
         def body(i, cv):
             tiles = gather_tiles(level_img, ys_all[i], xs_all[i],
                                  cfg.tile_h, cfg.tile_w)
             x = self._normalize(tiles)
-            logits = self.model.apply(self.variables, x, method=YNet.classify)
+            logits = self.model.apply(variables, x, method=YNet.classify)
             logits = logits * valid_all[i][:, None]
             return scatter_add_scalar_tiles(cv, logits, ys_all[i], xs_all[i],
                                             cfg.tile_h, cfg.tile_w)
 
         return jax.lax.fori_loop(0, n_batches, body, canvas)
 
-    def _fcn_full_pass(self, level_img_padded, *, chunk: int, halo: int,
-                       ny: int, nx: int):
+    def _fcn_full_pass(self, variables, level_img_padded, *, chunk_h: int,
+                       chunk_w: int, halo: int, ny: int, nx: int):
         """ScanNet-style FCN over the whole padded image in one dispatch:
-        fori_loop over halo-padded chunks, center crops written into the
-        output canvas. Each output pixel is computed exactly once."""
+        fori_loop over halo-padded (chunk_h × chunk_w) chunks, center crops
+        written into the output canvas. Each output pixel is computed
+        exactly once; rectangular chunks let a whole mid-size slide run as
+        ONE forward (ny = nx = 1), minimizing halo waste."""
         cfg = self.cfg
-        out = jnp.zeros((ny * chunk, nx * chunk, cfg.num_classes), jnp.float32)
+        out = jnp.zeros((ny * chunk_h, nx * chunk_w, cfg.num_classes),
+                        jnp.float32)
 
         def body(i, acc):
-            cy = (i // nx) * chunk
-            cx = (i % nx) * chunk
+            cy = (i // nx) * chunk_h
+            cx = (i % nx) * chunk_w
             window = jax.lax.dynamic_slice(
                 level_img_padded, (cy, cx, 0),
-                (chunk + 2 * halo, chunk + 2 * halo, 3))
+                (chunk_h + 2 * halo, chunk_w + 2 * halo, 3))
             x = self._normalize(window[None])
-            seg = self.model.apply(self.variables, x, method=YNet.segment)[0]
-            center = seg[halo:halo + chunk, halo:halo + chunk]
+            seg = self.model.apply(variables, x, method=YNet.segment)[0]
+            center = seg[halo:halo + chunk_h, halo:halo + chunk_w]
             return jax.lax.dynamic_update_slice(acc, center, (cy, cx, 0))
 
         return jax.lax.fori_loop(0, ny * nx, body, out)
+
+    @staticmethod
+    def _fcn_geometry(h: int, w: int, chunk, halo: int):
+        """Resolve FCN chunking. ``chunk=None`` → one rectangular chunk
+        covering the image (dims rounded up to the network's /32 stride);
+        an int applies square chunks of that size."""
+        if chunk is None:
+            ch = -(-h // 32) * 32
+            cw = -(-w // 32) * 32
+            return ch, cw, 1, 1
+        ch = cw = int(chunk)
+        return ch, cw, -(-h // ch), -(-w // cw)
 
     def _postprocess(self, canvas, mask_u8):
         labels, probs = threshold_probs(canvas, self.cfg.class_probs)
@@ -192,8 +207,9 @@ class DenseInferenceEngine:
         n_batches = xs_p.shape[0]
 
         run = self._seg_full if self.mode == "seg" else self._cls_full
-        canvas = run(level_img, canvas, jnp.asarray(ys_p), jnp.asarray(xs_p),
-                     jnp.asarray(valid), n_batches=n_batches, bs=bs)
+        canvas = run(self.variables, level_img, canvas, jnp.asarray(ys_p),
+                     jnp.asarray(xs_p), jnp.asarray(valid),
+                     n_batches=n_batches, bs=bs)
 
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
 
@@ -246,26 +262,27 @@ class DenseInferenceEngine:
                        "xs": bx.astype(np.int32),
                        "valid": valid[bi]}
 
-        step = jax.jit(self._streamed_batch, donate_argnums=(0,))
+        step = jax.jit(self._streamed_batch, donate_argnums=(1,))
         for b in prefetch_to_device(host_batches(),
                                     depth=cfg.prefetch_depth):
-            canvas = step(canvas, b["tiles"], b["ys"], b["xs"], b["valid"])
+            canvas = step(self.variables, canvas, b["tiles"], b["ys"],
+                          b["xs"], b["valid"])
 
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
 
-    def _streamed_batch(self, canvas, tiles_u8, ys, xs, valid):
+    def _streamed_batch(self, variables, canvas, tiles_u8, ys, xs, valid):
         cfg = self.cfg
         x = self._normalize(tiles_u8)
         if self.mode == "cls":
-            logits = self.model.apply(self.variables, x, method=YNet.classify)
+            logits = self.model.apply(variables, x, method=YNet.classify)
             logits = logits * valid[:, None]
             return scatter_add_scalar_tiles(canvas, logits, ys, xs,
                                             cfg.tile_h, cfg.tile_w)
-        seg = self.model.apply(self.variables, x, method=YNet.segment)
+        seg = self.model.apply(variables, x, method=YNet.segment)
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
-    def predict_slide_fcn(self, plan: SlidePlan, chunk: int = 1024,
+    def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False) -> SlideResult:
         """ScanNet-style FCN mode: halo-padded chunks, each output pixel
@@ -278,13 +295,13 @@ class DenseInferenceEngine:
         h, w = img.shape[:2]
         h2, w2 = plan.canvas_hw
 
-        ny = -(-h // chunk)
-        nx = -(-w // chunk)
+        ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
         img_pad = np.pad(
-            img, ((halo, halo + ny * chunk - h),
-                  (halo, halo + nx * chunk - w), (0, 0)),
+            img, ((halo, halo + ny * ch - h),
+                  (halo, halo + nx * cw - w), (0, 0)),
             constant_values=255)
-        canvas = self._fcn_full(jnp.asarray(img_pad), chunk=chunk, halo=halo,
+        canvas = self._fcn_full(self.variables, jnp.asarray(img_pad),
+                                chunk_h=ch, chunk_w=cw, halo=halo,
                                 ny=ny, nx=nx)[:h2, :w2]
         return self._finish(plan, canvas, len(plan.grid), t0,
                             keep_canvas, keep_probs)
@@ -333,23 +350,25 @@ class DenseInferenceEngine:
         val_d = jax.device_put(valid.reshape(shape3), sh)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(), P(axis), P(axis), P(axis)),
+                 in_specs=(P(), P(), P(axis), P(axis), P(axis)),
                  out_specs=P(), check_rep=False)
-        def run(img, ys_s, xs_s, val_s):
+        def run(variables, img, ys_s, xs_s, val_s):
             canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
 
             def body(i, cv):
-                return self._seg_tile_batch(img, cv, ys_s[0, i], xs_s[0, i],
-                                            val_s[0, i])
+                return self._seg_tile_batch(variables, img, cv, ys_s[0, i],
+                                            xs_s[0, i], val_s[0, i])
 
             canvas = jax.lax.fori_loop(0, n_batches, body, canvas)
             return jax.lax.psum(canvas, axis)
 
-        canvas = jax.jit(run)(level_img, ys_d, xs_d, val_d)
+        variables_r = jax.device_put(self.variables,
+                                     NamedSharding(mesh, P()))
+        canvas = jax.jit(run)(variables_r, level_img, ys_d, xs_d, val_d)
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
 
     def device_throughput(self, plan: SlidePlan, mode: str = "grid",
-                          iters: int = 3, chunk: int = 2048,
+                          iters: int = 3, chunk=None,
                           halo: int = 128) -> Dict[str, float]:
         """Steady-state single-chip throughput with the slide HBM-resident.
 
@@ -367,14 +386,15 @@ class DenseInferenceEngine:
 
         if mode == "fcn":
             h, w = img.shape[:2]
-            ny, nx = -(-h // chunk), -(-w // chunk)
+            ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
             img_pad = jnp.asarray(np.pad(
-                img, ((halo, halo + ny * chunk - h),
-                      (halo, halo + nx * chunk - w), (0, 0)),
+                img, ((halo, halo + ny * ch - h),
+                      (halo, halo + nx * cw - w), (0, 0)),
                 constant_values=255))
 
             def run():
-                cv = self._fcn_full(img_pad, chunk=chunk, halo=halo,
+                cv = self._fcn_full(self.variables, img_pad, chunk_h=ch,
+                                    chunk_w=cw, halo=halo,
                                     ny=ny, nx=nx)[:h2, :w2]
                 return self._post(cv, mask)
         else:
@@ -394,8 +414,8 @@ class DenseInferenceEngine:
 
             def run():
                 canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
-                cv = run_pass(level_img, canvas, ys_p, xs_p, valid,
-                              n_batches=n_batches, bs=bs)
+                cv = run_pass(self.variables, level_img, canvas, ys_p, xs_p,
+                              valid, n_batches=n_batches, bs=bs)
                 return self._post(cv, mask)
 
         jax.block_until_ready(run())      # compile + warm
