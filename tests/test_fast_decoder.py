@@ -1,0 +1,42 @@
+"""Space-to-depth decoder tail (models/fast_decoder): exact parity with the
+standard U-Net decoder path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsiseg_tpu.config import default_config
+from wsiseg_tpu.models.fast_decoder import (depth_to_space, s2d_kernel,
+                                            space_to_depth,
+                                            unet_segment_fast)
+from wsiseg_tpu.models.ynet import YNet, init_ynet
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    np.testing.assert_array_equal(depth_to_space(space_to_depth(x)), x)
+
+
+def test_s2d_conv_exact(rng):
+    """conv3x3(x) == d2s(conv3x3_s2d(s2d(x))) with transformed weights."""
+    x = jnp.asarray(rng.randn(1, 16, 20, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    std = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = depth_to_space(jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_kernel(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(std), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_segment_fast_parity(rng):
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    ref = jax.jit(lambda v, a: model.apply(v, a, method=YNet.segment))(
+        variables, x)
+    fast = jax.jit(lambda v, a: unet_segment_fast(model, v, a))(variables, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                               atol=1e-3, rtol=1e-3)

@@ -62,7 +62,8 @@ class SlideResult:
 
 class DenseInferenceEngine:
     def __init__(self, model: YNet, variables: Dict, cfg: Config,
-                 mode: str = "seg", batch_size: Optional[int] = None):
+                 mode: str = "seg", batch_size: Optional[int] = None,
+                 fast_seg: bool = True):
         if cfg.scan_level != 2 and mode == "seg":
             # The reference's stitching only type-checks at scan_level 2 for
             # seg mode (utils/eval.py:183-215 assumes m*tile == tile).
@@ -72,6 +73,9 @@ class DenseInferenceEngine:
         self.variables = variables
         self.cfg = cfg
         self.mode = mode
+        # space-to-depth decoder tail (models/fast_decoder): exact math,
+        # ~10% faster dense forward on v5e; Unet-only
+        self.fast_seg = fast_seg and getattr(model, "decoder", None) == "Unet"
         self.batch = batch_size or cfg.infer_batch_size
         # Whole-slide passes are single dispatches: a lax.fori_loop over tile
         # batches runs on-device end to end. This matters doubly here — it
@@ -92,6 +96,12 @@ class DenseInferenceEngine:
         x = tiles_u8.astype(jnp.float32) / 255.0
         return normalize(x, self.cfg.dataset_mean, self.cfg.dataset_std)
 
+    def _segment(self, variables, x):
+        if self.fast_seg and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            from wsiseg_tpu.models.fast_decoder import unet_segment_fast
+            return unet_segment_fast(self.model, variables, x)
+        return self.model.apply(variables, x, method=YNet.segment)
+
     def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid):
         cfg = self.cfg
         tiles = gather_tiles(level_img, ys, xs, cfg.tile_h, cfg.tile_w)
@@ -101,7 +111,7 @@ class DenseInferenceEngine:
             x = jax.image.resize(
                 x, (b, cfg.tile_h // cfg.scan_resize,
                     cfg.tile_w // cfg.scan_resize, 3), "linear")
-        seg = self.model.apply(variables, x, method=YNet.segment)
+        seg = self._segment(variables, x)
         if seg.shape[1] != cfg.tile_h:
             seg = jax.image.resize(
                 seg, (seg.shape[0], cfg.tile_h, cfg.tile_w, seg.shape[-1]),
@@ -152,7 +162,7 @@ class DenseInferenceEngine:
                 level_img_padded, (cy, cx, 0),
                 (chunk_h + 2 * halo, chunk_w + 2 * halo, 3))
             x = self._normalize(window[None])
-            seg = self.model.apply(variables, x, method=YNet.segment)[0]
+            seg = self._segment(variables, x)[0]
             center = seg[halo:halo + chunk_h, halo:halo + chunk_w]
             return jax.lax.dynamic_update_slice(acc, center, (cy, cx, 0))
 
@@ -278,7 +288,7 @@ class DenseInferenceEngine:
             logits = logits * valid[:, None]
             return scatter_add_scalar_tiles(canvas, logits, ys, xs,
                                             cfg.tile_h, cfg.tile_w)
-        seg = self.model.apply(variables, x, method=YNet.segment)
+        seg = self._segment(variables, x)
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 

@@ -1,0 +1,152 @@
+"""Inference-fast U-Net decoder: space-to-depth (s2d) tail.
+
+The decoder's full-resolution stages dominate dense-inference time: on v5e
+at 3328×4352, block4's two convs + the seg head are ~100 ms of a 174 ms
+Y-Net forward because XLA's conv lowering collapses for few-channel convs
+at large spatial extents (16-out 3×3 runs at ~2 TFLOP/s; 4-out at 0.4).
+
+Fix: compute the tail in s2d(2) domain. For stride-1 3×3 convs the
+transform is EXACT:
+
+  out[2i+a, 2j+b, co] = Σ w[dy,dx,ci,co] · x[2i+a+dy-1, 2j+b+dx-1, ci]
+
+re-indexed on 2×2 cells gives a 3×3 conv over s2d cells with weights
+
+  W'[du+1, dx-cell, (α,β,ci), (a,b,co)] = w[2du+α-a+1, 2dv+β-b+1, ci, co]
+
+(zero where the dy/dx index falls outside 0..2). Channel counts quadruple
+(Cin → 4Cin, Cout → 4Cout), spatial dims halve — same FLOPs up to the
+zero-structure, but the MXU runs at 4× the output-lane utilization, and
+the preceding nearest 2× upsample becomes a free channel tile
+(s2d(upsample2x(x)) = x repeated 4× on channels).
+
+Measured: block4 + head drop from ~100 ms to ~25 ms (v5e, 3328×4352).
+
+This path is inference-only (BatchNorm folded to affine) and reuses the
+trained variables unchanged — weights are transformed on the fly (tiny
+tensors, fused into the jit). Exact-parity with ``YNet.segment`` is tested
+to fp tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) → (3, 3, 4·Cin, 4·Cout) exact s2d-domain kernel.
+
+    Channel packing order matches ``space_to_depth`` below:
+    s2d channel index = (α·2 + β)·C + c  for sub-position (α, β).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for alpha in range(2):
+                for beta in range(2):
+                    for du in (-1, 0, 1):
+                        dy = 2 * du + alpha - a + 1
+                        if not (0 <= dy <= 2):
+                            continue
+                        for dv in (-1, 0, 1):
+                            dx = 2 * dv + beta - b + 1
+                            if not (0 <= dx <= 2):
+                                continue
+                            src = w[dy, dx]                     # (Cin, Cout)
+                            ci0 = (alpha * 2 + beta) * cin
+                            co0 = (a * 2 + b) * cout
+                            out = out.at[du + 1, dv + 1,
+                                         ci0:ci0 + cin,
+                                         co0:co0 + cout].set(src)
+    return out
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/2, W/2, 4C); channel index (α·2+β)·C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _conv(x, kernel, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _bn_affine(params, stats, eps=1e-5):
+    """Inference BatchNorm as (scale', bias')."""
+    inv = jax.lax.rsqrt(stats["var"] + eps)
+    scale = params["scale"] * inv
+    bias = params["bias"] - stats["mean"] * scale
+    return scale, bias
+
+
+def _tile4(v):
+    """Per-channel vector → s2d channel layout (4 sub-positions × C)."""
+    return jnp.tile(v, 4)
+
+
+def unet_segment_fast(model, variables, x, dtype=None):
+    """Y-Net encoder + U-Net decoder forward with the s2d tail.
+
+    Numerically equivalent to ``model.apply(variables, x,
+    method=YNet.segment)`` up to fp reassociation. Unet decoder only.
+    """
+    from wsiseg_tpu.models.ynet import YNet
+
+    dtype = dtype or model.dtype
+    feats = model.apply(variables, x, method=YNet.encode)
+
+    dp = variables["params"]["decoder"]
+    db = variables["batch_stats"]["decoder"]
+    channels = (256, 128, 64, 32, 16)
+
+    xx = feats[0].astype(dtype)
+    skips = list(feats[1:]) + [None]
+
+    # blocks 0..3 standard (deep stages: XLA conv is fine there)
+    for i in range(4):
+        blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
+        b_, h_, w_, c_ = xx.shape
+        xx = jax.image.resize(xx, (b_, 2 * h_, 2 * w_, c_), "nearest")
+        skip = skips[i]
+        if skip is not None:
+            xx = jnp.concatenate([xx, skip.astype(dtype)], axis=-1)
+        for cj in (1, 2):
+            y = _conv(xx, blk_p[f"conv{cj}"]["kernel"].astype(dtype))
+            s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
+            xx = jax.nn.relu(y * s + t).astype(dtype)
+
+    # block4 + seg head in s2d domain: upsample2x → channel tile;
+    # convs → s2d kernels at half resolution
+    blk_p, blk_b = dp["block4"], db["block4"]
+    xs = jnp.tile(xx, (1, 1, 1, 4))          # s2d(upsample2x(x))
+
+    for cj in (1, 2):
+        k = s2d_kernel(blk_p[f"conv{cj}"]["kernel"]).astype(dtype)
+        y = _conv(xs, k)
+        s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
+        xs = jax.nn.relu(y * _tile4(s) + _tile4(t)).astype(dtype)
+
+    head = dp["seg_head"]
+    kh = s2d_kernel(head["kernel"]).astype(dtype)
+    y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
+    return depth_to_space(y).astype(jnp.float32)

@@ -1,0 +1,80 @@
+"""TapConv — 3×3 convolution as nine shifted 1×1 matmuls.
+
+XLA-TPU's native convolution is pathologically slow for few-channel convs
+at large spatial extents (the U-Net decoder tail): measured on v5e at
+3328×4352, a 16→4 3×3 conv runs at 0.4 TFLOP/s (44 ms) through
+``lax.conv_general_dilated`` but 3× faster decomposed into nine shifted
+(H·W, Cin) @ (Cin, Cout) matmuls, which XLA maps onto the MXU without the
+small-window conv lowering. 32→16 at full resolution gains 1.5×.
+
+Parameter layout matches ``nn.Conv`` exactly (``kernel`` (3, 3, Cin, Cout),
+``bias`` (Cout,)) so checkpoints and the torchvision importer interoperate;
+gradients are exact (slice + einsum differentiate cleanly), so it is safe
+for training as well as inference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TapConv(nn.Module):
+    """3×3, stride-1, SAME-padded conv via shifted matmuls."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), self.param_dtype)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        b, h, w, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = None
+        for dy in range(3):
+            for dx in range(3):
+                sh = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), x.shape)
+                r = jnp.einsum("bhwc,co->bhwo", sh, k[dy, dx],
+                               preferred_element_type=jnp.float32)
+                acc = r if acc is None else acc + r
+
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            acc = acc + bias.astype(jnp.float32)
+        return acc.astype(self.dtype)
+
+
+def decoder_conv_factory(base_conv, dtype, param_dtype,
+                         tap_max_features: int = 8):
+    """Conv constructor for decoder blocks: TapConv for the final
+    few-channel 3×3 head, ``base_conv`` otherwise. Signature-compatible
+    with the ``partial(nn.Conv, ...)`` pattern used by the decoders.
+
+    Measured on v5e: TapConv wins standalone for features ≤ 32 but LOSES
+    inside the decoder graph for BN-followed convs (XLA fuses conv+BN+relu
+    and the tap decomposition breaks that fusion). Only the head conv
+    (features = num_classes, nothing fused after it) keeps the 3×
+    standalone win — hence the default cutoff of 8."""
+
+    def make(features, kernel_size, *args, **kw):
+        strides = args[0] if args else kw.get("strides")
+        if (tuple(kernel_size) == (3, 3)
+                and features <= tap_max_features
+                and strides in (None, (1, 1), 1)):
+            return TapConv(features, use_bias=kw.get("use_bias", True),
+                           dtype=dtype, param_dtype=param_dtype,
+                           name=kw.get("name"))
+        return base_conv(features, kernel_size, *args, **kw)
+
+    return make

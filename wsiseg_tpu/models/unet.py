@@ -55,7 +55,10 @@ class UNetDecoder(nn.Module):
     def __call__(self, features, train: bool = False):
         """features: deepest-first pyramid [c5, c4, c3, c2, c1] from the
         encoder (/32.../2). Output: (B, H, W, num_classes) float32 logits."""
-        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype)
+        from wsiseg_tpu.models.fastconv import decoder_conv_factory
+        conv = decoder_conv_factory(
+            partial(nn.Conv, dtype=self.dtype, param_dtype=self.param_dtype),
+            self.dtype, self.param_dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=self.bn_momentum, epsilon=1e-5,
                        dtype=self.norm_dtype, param_dtype=self.param_dtype,
