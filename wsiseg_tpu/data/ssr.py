@@ -84,6 +84,51 @@ class SSRSegDataset:
             yield batch
 
 
+def cls_ratios_ssr(impth: str, cfg: Config, ignore_index=None,
+                   option: str = "segmentation") -> np.ndarray:
+    """Class distribution of an SSR dataset — twin of reference
+    utils/preprocessing.py:279-309. ``segmentation`` bincounts the argmax
+    of every ``*_gt.png`` RGB mask (with the implicit background channel);
+    ``classification`` counts gt.npy labels."""
+    numsamples = np.zeros((cfg.num_classes,), np.float64)
+    if option == "classification":
+        store = md.load_store(impth)
+        for key in store:
+            for tile_id in store[key]:
+                numsamples[int(store[key][tile_id]["label"])] += 1
+    else:
+        for pth in sorted(glob.glob(f"{impth}/*_gt.png")):
+            lab = np.asarray(Image.open(pth))
+            if lab.ndim == 3:
+                lab = np.concatenate(
+                    [np.zeros((*lab.shape[:2], 1), lab.dtype), lab], -1)
+                lab = np.argmax(lab, -1)
+            numsamples += np.bincount(
+                lab.reshape(-1).astype(np.int64),
+                minlength=cfg.num_classes)[:cfg.num_classes]
+    if ignore_index is not None:
+        numsamples[ignore_index] = 0
+    total = numsamples.sum()
+    return numsamples / total if total > 0 else numsamples
+
+
+def cls_ratios_hr(impth: str, cfg: Config, ignore_index=None) -> np.ndarray:
+    """Class distribution of an HR region store — twin of reference
+    utils/preprocessing.py:312-355 (the dataset-side equivalent is
+    ``HRRegionDataset.cls_ratios``, computed with the same validity
+    filter)."""
+    from wsiseg_tpu.data.regions import HRRegionDataset
+
+    ds = HRRegionDataset(impth, cfg, eval=True)
+    ratios = np.asarray(ds.cls_ratios, np.float64)
+    if ignore_index is not None:
+        ratios = ratios.copy()
+        ratios[ignore_index] = 0
+        total = ratios.sum()
+        ratios = ratios / total if total > 0 else ratios
+    return ratios
+
+
 class SSRClsDataset:
     """gt.npy-backed region classification dataset
     (reference dataset_ssr.py:72-107)."""

@@ -195,14 +195,23 @@ class DenseInferenceEngine:
 
     # ---- public API ----
 
+    def stage_slide(self, plan: SlidePlan):
+        """Asynchronously upload a slide's scan-level image to HBM. Pass
+        the result to :meth:`predict_slide` to overlap this slide's upload
+        with the previous slide's compute (multi-slide pipelining)."""
+        return jax.device_put(
+            np.asarray(plan.slide.read_level(self.cfg.scan_level)))
+
     def predict_slide(self, plan: SlidePlan, keep_canvas: bool = False,
-                      keep_probs: bool = False) -> SlideResult:
+                      keep_probs: bool = False,
+                      level_img=None) -> SlideResult:
         """Grid-parity dense inference over one slide — one device dispatch
         for the stitching pass, one for post-processing."""
         cfg = self.cfg
         t0 = time.time()
 
-        level_img = jnp.asarray(plan.slide.read_level(cfg.scan_level))
+        if level_img is None:
+            level_img = jnp.asarray(plan.slide.read_level(cfg.scan_level))
         h2, w2 = plan.canvas_hw
         canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
 

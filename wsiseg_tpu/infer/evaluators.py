@@ -48,6 +48,29 @@ def _load_gt_artifacts(plan, shape_hw):
     return out
 
 
+
+
+def _pipelined_results(engine: DenseInferenceEngine,
+                       collection: SlideCollection, fcn: bool):
+    """Iterate (name, plan, result): slide k+1's level image uploads while
+    slide k computes (jax async dispatch overlaps transfer with compute —
+    the multi-slide production pattern; the reference processes slides
+    strictly serially, utils/eval.py:174-177)."""
+    items = list(collection.items())
+    staged = None
+    if not fcn and items:
+        staged = engine.stage_slide(items[0][1])
+    for idx, (name, plan) in enumerate(items):
+        if fcn:
+            res = engine.predict_slide_fcn(plan)
+        else:
+            nxt = (engine.stage_slide(items[idx + 1][1])
+                   if idx + 1 < len(items) else None)
+            res = engine.predict_slide(plan, level_img=staged)
+            staged = nxt
+        yield name, plan, res
+
+
 def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
                  ep, fcn: bool = False, log: Callable = print) -> Dict:
     """Per-slide dense prediction, tumor-bed extraction, metric report and
@@ -55,8 +78,7 @@ def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
     cfg = engine.cfg
     results = {}
     ious_tb = []
-    for name, plan in collection.items():
-        res = engine.predict_slide_fcn(plan) if fcn else engine.predict_slide(plan)
+    for name, plan, res in _pipelined_results(engine, collection, fcn):
         h2w2 = plan.canvas_hw
         tb_filled, tb_perim = extract_tumor_bed(res.labels)
         gts = _load_gt_artifacts(plan, h2w2)
@@ -110,8 +132,7 @@ def predict_tumorbed(engine: DenseInferenceEngine,
     """Heatmap + overlay artifact generation (utils/eval.py:155-286)."""
     cfg = engine.cfg
     results = {}
-    for name, plan in collection.items():
-        res = engine.predict_slide_fcn(plan) if fcn else engine.predict_slide(plan)
+    for name, plan, res in _pipelined_results(engine, collection, fcn):
         heat_pth = writers.save_heatmap(cfg, ep, name, res.heatmap)
         wsi2 = plan.slide.read_level(2)
         overlay_pth = writers.save_overlay(cfg, ep, name, wsi2, res.heatmap)

@@ -11,7 +11,7 @@ uses PIL's C scanline fill.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageDraw

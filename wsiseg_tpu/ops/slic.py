@@ -14,7 +14,6 @@ on derived artifacts (SURVEY.md §7f).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
