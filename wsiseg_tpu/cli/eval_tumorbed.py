@@ -22,7 +22,12 @@ def _eval(cfg: Config, mode: str = "seg", fcn: bool = False) -> dict:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    _eval(parse_args(argv))
+    import argparse
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--fcn", action="store_true",
+                   help="ScanNet-style FCN mode (each pixel computed once)")
+    ns, rest = p.parse_known_args(argv)
+    _eval(parse_args(rest), fcn=ns.fcn)
 
 
 if __name__ == "__main__":
