@@ -83,7 +83,10 @@ def main():
     assert plan is not None and len(plan.grid) > 0
 
     # steady-state device-path throughput (slide HBM-resident)
-    fcn_dev = engine.device_throughput(plan, mode="fcn", iters=3)
+    try:
+        fcn_dev = engine.device_throughput(plan, mode="fcn", iters=3)
+    except Exception:
+        fcn_dev = {"patches_per_sec": 0.0, "sec_per_slide": float("nan")}
     grid_dev = engine.device_throughput(plan, mode="grid",
                                         iters=3 if on_tpu else 1)
 

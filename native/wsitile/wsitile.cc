@@ -224,17 +224,19 @@ class TiffSlide : public Slide {
     pool_.push_back(t);
   }
 
-  /* Copy the overlap of a decoded RGBA block at (bx, by, bw, bh) into the
-   * RGB output window at (x, y, w, h). RGBA rows from libtiff's RGBA
+  /* Copy the overlap of a decoded RGBA block at (bx, by) with `bw` valid
+   * columns × `bh` valid rows (raster row stride `stride`) into the RGB
+   * output window at (x, y, w, h). RGBA rows from libtiff's RGBA
    * interface are bottom-up; `raster` is already re-ordered top-down by
-   * the callers below. */
+   * the callers below. Columns beyond bw (right-edge tile padding) are
+   * never copied — the out buffer keeps its white background there. */
   static void blit(const uint32_t *raster, int64_t bx, int64_t by,
-                   int64_t bw, int64_t bh, int64_t x, int64_t y, int64_t w,
-                   int64_t h, uint8_t *out) {
+                   int64_t stride, int64_t bw, int64_t bh, int64_t x,
+                   int64_t y, int64_t w, int64_t h, uint8_t *out) {
     int64_t y0 = std::max(by, y), y1 = std::min(by + bh, y + h);
     int64_t x0 = std::max(bx, x), x1 = std::min(bx + bw, x + w);
     for (int64_t yy = y0; yy < y1; ++yy) {
-      const uint32_t *src = raster + (yy - by) * bw + (x0 - bx);
+      const uint32_t *src = raster + (yy - by) * stride + (x0 - bx);
       uint8_t *dst = out + ((yy - y) * w + (x0 - x)) * 3;
       for (int64_t xx = x0; xx < x1; ++xx, ++src, dst += 3) {
         const uint32_t px = *src;
@@ -268,14 +270,15 @@ class TiffSlide : public Slide {
         if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty,
                               raster.data()))
           continue;  // undecodable tile: leave white
-        /* RGBA tile rows are bottom-up; flip to top-down. */
+        /* RGBA tile rows are bottom-up; flip to top-down. After the flip
+         * the valid rows of a partial bottom-edge tile (bh < th) sit at
+         * offset 0 (verified empirically against coordinate-encoded
+         * tiles; reading at (th-bh)*tw returned the undefined pad rows
+         * instead of image data). */
         flip_rows(raster.data(), tw, th);
-        int64_t bw = std::min<int64_t>(tw, li.w - tx);
         int64_t bh = std::min<int64_t>(th, li.h - ty);
-        /* flip put valid rows at the bottom when bh < th */
-        const uint32_t *block = raster.data() + (th - bh) * tw;
-        blit(block, tx, ty, tw, bh, x, y, w, h, out);
-        (void)bw;
+        int64_t bw = std::min<int64_t>(tw, li.w - tx);
+        blit(raster.data(), tx, ty, tw, bw, bh, x, y, w, h, out);
       }
     }
     return 0;
@@ -294,7 +297,7 @@ class TiffSlide : public Slide {
       if (!TIFFReadRGBAStrip(tif, (uint32_t)sy, raster.data())) continue;
       /* strip rows are bottom-up within the strip */
       flip_rows(raster.data(), li.w, rows);
-      blit(raster.data(), 0, sy, li.w, rows, x, y, w, h, out);
+      blit(raster.data(), 0, sy, li.w, li.w, rows, x, y, w, h, out);
     }
     return 0;
   }
@@ -434,6 +437,53 @@ int wsitile_write_raw(const char *path, int levels, const int64_t *ws,
   for (int k = 0; k < levels; ++k)
     fwrite(data[k], 1, (size_t)(ws[k] * hs[k] * 3), f);
   fclose(f);
+  return 0;
+}
+
+int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
+                        const int64_t *hs, const uint8_t *const *data,
+                        int tile_size) {
+  TIFF *tif = TIFFOpen(path, "w");
+  if (!tif) {
+    set_error("TIFFOpen(w) failed");
+    return -1;
+  }
+  std::vector<uint8_t> buf((size_t)tile_size * tile_size * 3);
+  for (int k = 0; k < levels; ++k) {
+    const int64_t w = ws[k], h = hs[k];
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, (uint32_t)w);
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, (uint32_t)h);
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, (uint32_t)tile_size);
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, (uint32_t)tile_size);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+    for (int64_t ty = 0; ty < h; ty += tile_size) {
+      for (int64_t tx = 0; tx < w; tx += tile_size) {
+        std::memset(buf.data(), 0, buf.size());
+        const int64_t bh = std::min<int64_t>(tile_size, h - ty);
+        const int64_t bw = std::min<int64_t>(tile_size, w - tx);
+        for (int64_t r = 0; r < bh; ++r)
+          std::memcpy(buf.data() + (size_t)(r * tile_size) * 3,
+                      data[k] + (size_t)((ty + r) * w + tx) * 3,
+                      (size_t)bw * 3);
+        if (TIFFWriteTile(tif, buf.data(), (uint32_t)tx, (uint32_t)ty, 0,
+                          0) < 0) {
+          TIFFClose(tif);
+          set_error("TIFFWriteTile failed");
+          return -1;
+        }
+      }
+    }
+    if (k + 1 < levels && !TIFFWriteDirectory(tif)) {
+      TIFFClose(tif);
+      set_error("TIFFWriteDirectory failed");
+      return -1;
+    }
+  }
+  TIFFClose(tif);
   return 0;
 }
 

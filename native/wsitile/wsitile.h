@@ -60,6 +60,13 @@ int wsitile_read_level(void *handle, int level, uint8_t *out, int nthreads);
 int wsitile_write_raw(const char *path, int levels, const int64_t *ws,
                       const int64_t *hs, const uint8_t *const *data);
 
+/* Writes a multi-directory TILED TIFF pyramid (tile_size × tile_size,
+ * uncompressed) — the SVS-like layout the reader's tiled path decodes.
+ * Also the hermetic test vehicle for edge-tile handling. */
+int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
+                        const int64_t *hs, const uint8_t *const *data,
+                        int tile_size);
+
 /* Last error message for this thread (empty string if none). */
 const char *wsitile_last_error(void);
 

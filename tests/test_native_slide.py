@@ -109,3 +109,32 @@ def test_open_slide_routes_tiff(tmp_path, pyramid_arrays):
     imgs[0].save(pth, save_all=True, append_images=imgs[1:])
     slide = open_slide(pth)
     assert isinstance(slide, NativeSlide)
+
+
+def test_tiled_pyramid_partial_edge_tiles(tmp_path):
+    """Regression: partial bottom/right edge tiles of a TILED TIFF must
+    decode correctly (RGBA tile rows are bottom-up; the valid rows of a
+    short edge tile land at offset 0 after flipping)."""
+    from wsiseg_tpu.slides.native import NativeSlide, write_tiled_pyramid
+
+    H, W = 200, 300    # not multiples of the 128 tile size
+    iy, ix = np.mgrid[0:H, 0:W]
+    lv0 = np.stack([iy % 251, ix % 251, (iy + ix) % 251], -1).astype(np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    pth = str(tmp_path / "t.tif")
+    write_tiled_pyramid(pth, [lv0, lv1], tile_size=128)
+
+    s = NativeSlide(pth)
+    assert s.level_count == 2
+    np.testing.assert_array_equal(s.read_level(0), lv0)
+    np.testing.assert_array_equal(s.read_level(1), lv1)
+    # region crossing the partial bottom tile + out-of-bounds padding
+    r = s.read_region((100, 150), 0, (64, 64))
+    np.testing.assert_array_equal(r[:50], lv0[150:200, 100:164])
+    assert (r[50:] == 255).all()
+    # batched threaded read across the edge
+    tiles = s.read_tiles([250, 0], [150, 0], level=0, tile_w=64, tile_h=64,
+                         nthreads=2)
+    expect = np.full((64, 64, 3), 255, np.uint8)
+    expect[:50, :50] = lv0[150:200, 250:300]
+    np.testing.assert_array_equal(tiles[0], expect)

@@ -92,6 +92,17 @@ class DenseInferenceEngine:
 
     # ---- jitted passes ----
 
+    def _pad_grid(self, xs, ys, bs):
+        """Pad tile origins to a batch multiple; returns (xs, ys, valid)
+        reshaped to (n_batches, bs)."""
+        n = len(xs)
+        pad = (-n) % bs
+        xs_p = np.concatenate([xs, np.zeros(pad, np.int32)]).reshape(-1, bs)
+        ys_p = np.concatenate([ys, np.zeros(pad, np.int32)]).reshape(-1, bs)
+        valid = np.concatenate([np.ones(n, np.float32),
+                                np.zeros(pad, np.float32)]).reshape(-1, bs)
+        return xs_p, ys_p, valid
+
     def _normalize(self, tiles_u8):
         x = tiles_u8.astype(jnp.float32) / 255.0
         return normalize(x, self.cfg.dataset_mean, self.cfg.dataset_std)
@@ -102,10 +113,11 @@ class DenseInferenceEngine:
             return unet_segment_fast(self.model, variables, x)
         return self.model.apply(variables, x, method=YNet.segment)
 
-    def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid):
+    def _seg_forward_tiles(self, variables, tiles_u8):
+        """uint8 tiles → seg logits at tile resolution, honoring
+        scan_resize (reference F.interpolate, utils/eval.py:202-206)."""
         cfg = self.cfg
-        tiles = gather_tiles(level_img, ys, xs, cfg.tile_h, cfg.tile_w)
-        x = self._normalize(tiles)
+        x = self._normalize(tiles_u8)
         if cfg.scan_resize != 1:
             b = x.shape[0]
             x = jax.image.resize(
@@ -116,6 +128,12 @@ class DenseInferenceEngine:
             seg = jax.image.resize(
                 seg, (seg.shape[0], cfg.tile_h, cfg.tile_w, seg.shape[-1]),
                 "linear")
+        return seg
+
+    def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid):
+        cfg = self.cfg
+        tiles = gather_tiles(level_img, ys, xs, cfg.tile_h, cfg.tile_w)
+        seg = self._seg_forward_tiles(variables, tiles)
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
@@ -218,11 +236,7 @@ class DenseInferenceEngine:
         xs, ys = plan.grid.xs, plan.grid.ys
         n = len(xs)
         bs = self.batch
-        pad = (-n) % bs
-        xs_p = np.concatenate([xs, np.zeros(pad, np.int32)]).reshape(-1, bs)
-        ys_p = np.concatenate([ys, np.zeros(pad, np.int32)]).reshape(-1, bs)
-        valid = np.concatenate([np.ones(n, np.float32),
-                                np.zeros(pad, np.float32)]).reshape(-1, bs)
+        xs_p, ys_p, valid = self._pad_grid(xs, ys, bs)
         n_batches = xs_p.shape[0]
 
         run = self._seg_full if self.mode == "seg" else self._cls_full
@@ -255,11 +269,7 @@ class DenseInferenceEngine:
         xs, ys = plan.grid.xs, plan.grid.ys
         n = len(xs)
         bs = self.batch
-        pad = (-n) % bs
-        xs_p = np.concatenate([xs, np.zeros(pad, np.int32)]).reshape(-1, bs)
-        ys_p = np.concatenate([ys, np.zeros(pad, np.int32)]).reshape(-1, bs)
-        valid = np.concatenate([np.ones(n, np.float32),
-                                np.zeros(pad, np.float32)]).reshape(-1, bs)
+        xs_p, ys_p, valid = self._pad_grid(xs, ys, bs)
 
         slide = plan.slide
         ds_lvl = slide.level_downsamples[cfg.scan_level]
@@ -291,17 +301,17 @@ class DenseInferenceEngine:
 
     def _streamed_batch(self, variables, canvas, tiles_u8, ys, xs, valid):
         cfg = self.cfg
-        x = self._normalize(tiles_u8)
         if self.mode == "cls":
+            x = self._normalize(tiles_u8)
             logits = self.model.apply(variables, x, method=YNet.classify)
             logits = logits * valid[:, None]
             return scatter_add_scalar_tiles(canvas, logits, ys, xs,
                                             cfg.tile_h, cfg.tile_w)
-        seg = self._segment(variables, x)
+        seg = self._seg_forward_tiles(variables, tiles_u8)
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
-    def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
+    def predict_slide_fcn(self, plan: SlidePlan, chunk: int = 2048,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False) -> SlideResult:
         """ScanNet-style FCN mode: halo-padded chunks, each output pixel
@@ -342,6 +352,9 @@ class DenseInferenceEngine:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self.mode != "seg":
+            raise NotImplementedError(
+                "predict_slide_sharded supports seg mode only")
         cfg = self.cfg
         t0 = time.time()
         n_dev = mesh.shape[axis]
@@ -437,11 +450,16 @@ class DenseInferenceEngine:
                               valid, n_batches=n_batches, bs=bs)
                 return self._post(cv, mask)
 
-        jax.block_until_ready(run())      # compile + warm
+        def sync(o):
+            # block_until_ready is unreliable over the relay (CLAUDE.md);
+            # force a tiny scalar fetch to drain the device queue
+            return float(jnp.sum(o[0].astype(jnp.float32)))
+
+        sync(run())                        # compile + warm
         t0 = time.time()
         for _ in range(iters):
             out = run()
-        jax.block_until_ready(out)
+        sync(out)
         dt = (time.time() - t0) / iters
         return {"patches_per_sec": n / dt if dt > 0 else 0.0,
                 "sec_per_slide": dt}

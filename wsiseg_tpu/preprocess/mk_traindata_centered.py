@@ -107,7 +107,11 @@ def generate_for_slide(slide: SlideReader, wsipath: str, gt: np.ndarray,
             coords = np.transpose(np.where(region))[:, ::-1].astype(np.float32)
             if coords.shape[0] < 2:
                 continue
-            k = int(np.ceil(area / (cfg.tile_w * cfg.tile_h)) + 1)
+            # tile count from the DOWNSAMPLED bbox size, matching the
+            # reference (mk_traindata_bach_centered.py:133 computes
+            # prod(label_patch.size) AFTER the //us resize)
+            k = int(np.ceil(np.prod(region.shape)
+                            / (cfg.tile_w * cfg.tile_h)) + 1)
             k = min(k, coords.shape[0])
             centers, _ = kmeans(jax.random.PRNGKey(seed),
                                 jnp.asarray(coords), k)

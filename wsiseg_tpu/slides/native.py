@@ -73,6 +73,11 @@ def load_library() -> ctypes.CDLL:
         lib.wsitile_write_raw.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                           p_i64, p_i64,
                                           ctypes.POINTER(p_u8)]
+        lib.wsitile_write_tiled.restype = ctypes.c_int
+        lib.wsitile_write_tiled.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                            p_i64, p_i64,
+                                            ctypes.POINTER(p_u8),
+                                            ctypes.c_int]
         lib.wsitile_last_error.restype = ctypes.c_char_p
         _lib = lib
         return lib
@@ -181,6 +186,22 @@ class NativeSlide:
             self.close()
         except Exception:
             pass
+
+
+def write_tiled_pyramid(path: str, levels: Sequence[np.ndarray],
+                        tile_size: int = 128) -> str:
+    """Write a multi-directory TILED TIFF pyramid (the SVS-like layout)."""
+    lib = load_library()
+    arrs = [np.ascontiguousarray(lv, np.uint8) for lv in levels]
+    ws = np.array([a.shape[1] for a in arrs], np.int64)
+    hs = np.array([a.shape[0] for a in arrs], np.int64)
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * len(arrs))(
+        *[_u8ptr(a) for a in arrs])
+    rc = lib.wsitile_write_tiled(path.encode(), len(arrs), _i64ptr(ws),
+                                 _i64ptr(hs), ptrs, tile_size)
+    if rc != 0:
+        raise OSError(f"write_tiled_pyramid({path!r}) failed")
+    return path
 
 
 def write_raw_pyramid(path: str, levels: Sequence[np.ndarray]) -> str:

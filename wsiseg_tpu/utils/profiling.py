@@ -77,11 +77,17 @@ def device_memory_stats(device=None) -> Dict[str, int]:
 
 @contextlib.contextmanager
 def timed(label: str, log=print):
-    """Wall-clock timing of a block, with device sync at the end."""
+    """Wall-clock timing of a block, with device sync at the end.
+
+    The sync dispatches a trivial computation after the block and fetches
+    its value: per-device streams are FIFO, so the fetch completes only
+    after all queued work (``block_until_ready`` is unreliable over this
+    environment's TPU relay, and ``effects_barrier`` only waits for
+    side-effecting computations)."""
     import jax
+    import jax.numpy as jnp
 
     t0 = time.time()
     yield
-    # ensure queued device work is included
-    jax.effects_barrier()
+    float(jax.jit(lambda: jnp.zeros(()))())
     log(f"{label}: {time.time() - t0:.3f}s")
