@@ -1,0 +1,43 @@
+"""Functional s2d-stem encoder (models/fast_encoder): exact parity with the
+flax encoder. (Not wired into the engine — see module docstring — but the
+weight transform and functional BN must stay correct.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsiseg_tpu.config import default_config
+from wsiseg_tpu.models.fast_encoder import (resnet_encode_fast,
+                                            s2d_stem_kernel,
+                                            supports_fast_encode)
+from wsiseg_tpu.models.ynet import YNet, init_ynet
+
+
+def test_s2d_stem_kernel_exact(rng):
+    """7×7/2 conv == 4×4/1 conv over s2d(2) input with transformed weights."""
+    from wsiseg_tpu.models.fast_decoder import space_to_depth
+
+    x = jnp.asarray(rng.randn(1, 32, 40, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 8).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_stem_kernel(w), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_encoder_parity(rng):
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+    assert supports_fast_encode(model)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    ref = jax.jit(lambda v, a: model.apply(v, a, method=YNet.encode))(
+        variables, x)
+    fast = jax.jit(lambda v, a: resnet_encode_fast(model, v, a))(variables, x)
+    for r, f in zip(ref, fast):
+        assert r.shape == f.shape
+        np.testing.assert_allclose(np.asarray(r), np.asarray(f),
+                                   atol=1e-3, rtol=1e-3)

@@ -113,6 +113,9 @@ def unet_segment_fast(model, variables, x, dtype=None):
     from wsiseg_tpu.models.ynet import YNet
 
     dtype = dtype or model.dtype
+    # NOTE: an s2d-stem functional encoder exists (models/fast_encoder) but
+    # measured SLOWER on v5e (stem 51→88 ms standalone: the s2d input
+    # relayout dominates at Cin=3) — the flax encoder stays.
     feats = model.apply(variables, x, method=YNet.encode)
 
     dp = variables["params"]["decoder"]

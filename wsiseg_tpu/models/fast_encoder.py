@@ -1,0 +1,113 @@
+"""Inference-fast ResNet encoder: space-to-depth stem.
+
+The 7×7 stride-2 stem conv dominates encoder time at slide scale (measured
+v5e: 30 ms of a 47 ms ResNet-18 encoder at 3328×4352 — Cin=3 starves the
+MXU). A stride-2 conv maps EXACTLY onto a stride-1 conv over the s2d(2)
+input: output pixel (i, j) reads input rows 2i+dy-3, dy ∈ [0, 7); writing
+r = 2(i+du)+α gives dy = 2du+α+3, valid du ∈ [-2, 1] — a 4×4 kernel over
+(H/2, W/2, 12) cells whose output lands directly at the stem's natural
+(H/2, W/2, 64) resolution. K grows 147→192 with far better MXU occupancy.
+
+The remaining stages are re-implemented functionally (inference BatchNorm
+as affine) from the SAME variables, so the fast path needs no re-training
+or weight conversion. BasicBlock architectures only (resnet18/34); parity
+with ``YNet.encode`` is tested to fp tolerance.
+
+Status: NOT wired into the inference fast path — measured on v5e the s2d
+stem is slower standalone (51 → 88 ms at 3328×4352: the space-to-depth
+input relayout dominates at Cin=3, unlike the decoder tail where the
+upsample→channel-tile is free). Kept as a parity-tested functional
+encoder and the template for weight-transform experiments.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wsiseg_tpu.models.fast_decoder import space_to_depth
+from wsiseg_tpu.models.resnet import ENCODER_SPECS, BasicBlock
+
+
+def s2d_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(7, 7, Cin, Cout) stride-2 kernel → (4, 4, 4·Cin, Cout) stride-1
+    kernel over s2d(2) input. Channel packing (α·2+β)·Cin + c matches
+    fast_decoder.space_to_depth."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (7, 7)
+    out = jnp.zeros((4, 4, 4 * cin, cout), w.dtype)
+    for alpha in range(2):
+        for beta in range(2):
+            for du in (-2, -1, 0, 1):
+                dy = 2 * du + alpha + 3
+                if not (0 <= dy <= 6):
+                    continue
+                for dv in (-2, -1, 0, 1):
+                    dx = 2 * dv + beta + 3
+                    if not (0 <= dx <= 6):
+                        continue
+                    ci0 = (alpha * 2 + beta) * cin
+                    out = out.at[du + 2, dv + 2,
+                                 ci0:ci0 + cin].set(w[dy, dx])
+    return out
+
+
+def _conv(x, kernel, stride=1, padding=((1, 1), (1, 1))):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), list(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def _bn_relu(y, params, stats, relu=True, eps=1e-5):
+    inv = jax.lax.rsqrt(stats["var"] + eps)
+    scale = params["scale"] * inv
+    bias = params["bias"] - stats["mean"] * scale
+    y = y * scale + bias
+    return jax.nn.relu(y) if relu else y
+
+
+def supports_fast_encode(model) -> bool:
+    block_cls, _ = ENCODER_SPECS[model.arch]
+    return block_cls is BasicBlock
+
+
+def resnet_encode_fast(model, variables, x, dtype=None):
+    """Functional inference forward of the ResNet encoder with the s2d
+    stem. Returns the deepest-first pyramid [c5, c4, c3, c2, c1] like
+    ``YNet.encode``. BasicBlock archs only; even input dims required."""
+    dtype = dtype or model.dtype
+    ep = variables["params"]["encoder"]
+    eb = variables["batch_stats"]["encoder"]
+    _, stages = ENCODER_SPECS[model.arch]
+
+    # stem: s2d(2) + 4x4 stride-1 conv at half resolution
+    xs = space_to_depth(x.astype(dtype))
+    k = s2d_stem_kernel(ep["stem_conv"]["kernel"]).astype(dtype)
+    y = _conv(xs, k, padding=((2, 1), (2, 1)))
+    c1 = _bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
+
+    xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+
+    feats = []
+    for i, n_blocks in enumerate(stages):
+        for j in range(n_blocks):
+            stride = 2 if (i > 0 and j == 0) else 1
+            p = ep[f"layer{i + 1}_{j}"]
+            b = eb[f"layer{i + 1}_{j}"]
+            identity = xx
+            y = _conv(xx, p["conv1"]["kernel"].astype(dtype), stride)
+            y = _bn_relu(y, p["bn1"], b["bn1"]).astype(dtype)
+            y = _conv(y, p["conv2"]["kernel"].astype(dtype))
+            y = _bn_relu(y, p["bn2"], b["bn2"], relu=False)
+            if "down_conv" in p:
+                identity = _conv(xx, p["down_conv"]["kernel"].astype(dtype),
+                                 stride, padding=((0, 0), (0, 0)))
+                identity = _bn_relu(identity, p["down_bn"], b["down_bn"],
+                                    relu=False)
+            xx = jax.nn.relu(y + identity.astype(jnp.float32)).astype(dtype)
+        feats.append(xx)
+
+    c2, c3, c4, c5 = feats
+    return [c5, c4, c3, c2, c1]
