@@ -40,3 +40,17 @@ def test_unknown_decoder_rejected():
     cfg = default_config(tile_w=TILE, tile_h=TILE, compute_dtype="float32")
     with pytest.raises(ValueError):
         cfg.replace(model_name="SegFormer")
+
+
+@pytest.mark.parametrize("arch", ["resnet34", "resnet50"])
+def test_ynet_alt_encoders_segment(arch):
+    """Full Y-Net forward for the non-default encoder archs (Bottleneck
+    included) — pyramid channel wiring must hold through the decoder."""
+    cfg = default_config(arch_encoder=arch, tile_w=TILE, tile_h=TILE,
+                         compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, TILE, TILE, 3), jnp.float32)
+    out = jax.jit(lambda v, a: model.apply(v, a))(variables, x)
+    assert out["seg"].shape == (1, TILE, TILE, 4)
+    assert out["cls"].shape == (1, 4)
+    assert out["reg"].shape == (1, 1)
