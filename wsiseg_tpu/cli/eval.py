@@ -18,14 +18,19 @@ from wsiseg_tpu.infer.evaluators import predict_wsis
 from wsiseg_tpu.train.state import TrainState
 
 
-def _eval(cfg: Config, fcn: bool = False) -> dict:
+def _eval(cfg: Config, fcn: bool = False, sharded: bool = False) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg)
+    mesh = None
+    if sharded:
+        from wsiseg_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg)
     results = {}
     for src in filter(None, [cfg.raw_val_pth, cfg.raw_val1_pth]):
         collection = SlideCollection(src, cfg)
         if len(collection):
-            results.update(predict_wsis(engine, collection, epoch, fcn=fcn))
+            results.update(predict_wsis(engine, collection, epoch, fcn=fcn,
+                                        mesh=mesh))
     return results
 
 
@@ -34,8 +39,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--fcn", action="store_true",
                    help="ScanNet-style FCN mode (each pixel computed once)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard each slide's tile stream over all devices")
     ns, rest = p.parse_known_args(argv)
-    _eval(parse_args(rest), fcn=ns.fcn)
+    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
 
 
 if __name__ == "__main__":

@@ -14,11 +14,16 @@ from wsiseg_tpu.infer.engine import DenseInferenceEngine
 from wsiseg_tpu.infer.evaluators import predict_tumorbed
 
 
-def _eval(cfg: Config, mode: str = "seg", fcn: bool = False) -> dict:
+def _eval(cfg: Config, mode: str = "seg", fcn: bool = False,
+          sharded: bool = False) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg, mode=mode)
     collection = SlideCollection(cfg.raw_val_pth, cfg)
-    return predict_tumorbed(engine, collection, epoch, fcn=fcn)
+    mesh = None
+    if sharded:
+        from wsiseg_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg)
+    return predict_tumorbed(engine, collection, epoch, fcn=fcn, mesh=mesh)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
@@ -26,8 +31,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser(add_help=False)
     p.add_argument("--fcn", action="store_true",
                    help="ScanNet-style FCN mode (each pixel computed once)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard each slide's tile stream over all devices")
     ns, rest = p.parse_known_args(argv)
-    _eval(parse_args(rest), fcn=ns.fcn)
+    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
 
 
 if __name__ == "__main__":

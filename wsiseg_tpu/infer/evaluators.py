@@ -51,12 +51,18 @@ def _load_gt_artifacts(plan, shape_hw):
 
 
 def _pipelined_results(engine: DenseInferenceEngine,
-                       collection: SlideCollection, fcn: bool):
+                       collection: SlideCollection, fcn: bool,
+                       mesh=None):
     """Iterate (name, plan, result): slide k+1's level image uploads while
     slide k computes (jax async dispatch overlaps transfer with compute —
     the multi-slide production pattern; the reference processes slides
-    strictly serially, utils/eval.py:174-177)."""
+    strictly serially, utils/eval.py:174-177). With ``mesh`` each slide's
+    tile stream is sharded across the device mesh instead."""
     items = list(collection.items())
+    if mesh is not None:
+        for name, plan in items:
+            yield name, plan, engine.predict_slide_sharded(plan, mesh)
+        return
     staged = None
     if not fcn and items:
         staged = engine.stage_slide(items[0][1])
@@ -72,13 +78,15 @@ def _pipelined_results(engine: DenseInferenceEngine,
 
 
 def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
-                 ep, fcn: bool = False, log: Callable = print) -> Dict:
+                 ep, fcn: bool = False, mesh=None,
+                 log: Callable = print) -> Dict:
     """Per-slide dense prediction, tumor-bed extraction, metric report and
     color-mask artifact. Returns {slide: metrics dict} plus '_mean_tb_iou'."""
     cfg = engine.cfg
     results = {}
     ious_tb = []
-    for name, plan, res in _pipelined_results(engine, collection, fcn):
+    for name, plan, res in _pipelined_results(engine, collection, fcn,
+                                               mesh=mesh):
         h2w2 = plan.canvas_hw
         tb_filled, tb_perim = extract_tumor_bed(res.labels)
         gts = _load_gt_artifacts(plan, h2w2)
@@ -128,11 +136,13 @@ def plan_mask_resized(plan, hw) -> np.ndarray:
 
 def predict_tumorbed(engine: DenseInferenceEngine,
                      collection: SlideCollection, ep,
-                     fcn: bool = False, log: Callable = print) -> Dict:
+                     fcn: bool = False, mesh=None,
+                     log: Callable = print) -> Dict:
     """Heatmap + overlay artifact generation (utils/eval.py:155-286)."""
     cfg = engine.cfg
     results = {}
-    for name, plan, res in _pipelined_results(engine, collection, fcn):
+    for name, plan, res in _pipelined_results(engine, collection, fcn,
+                                               mesh=mesh):
         heat_pth = writers.save_heatmap(cfg, ep, name, res.heatmap)
         wsi2 = plan.slide.read_level(2)
         overlay_pth = writers.save_overlay(cfg, ep, name, wsi2, res.heatmap)
