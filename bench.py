@@ -85,8 +85,10 @@ def main():
     # steady-state device-path throughput (slide HBM-resident)
     try:
         fcn_dev = engine.device_throughput(plan, mode="fcn", iters=3)
-    except Exception:
-        fcn_dev = {"patches_per_sec": 0.0, "sec_per_slide": float("nan")}
+    except Exception as e:
+        import sys
+        print(f"fcn device_throughput failed: {e!r}", file=sys.stderr)
+        fcn_dev = {"patches_per_sec": 0.0, "sec_per_slide": None}
     grid_dev = engine.device_throughput(plan, mode="grid",
                                         iters=3 if on_tpu else 1)
 
@@ -106,7 +108,8 @@ def main():
         "vs_baseline": round(value / 10000.0, 3),
         "fcn_device_patches_per_sec": round(fcn_dev["patches_per_sec"], 1),
         "grid_device_patches_per_sec": round(grid_dev["patches_per_sec"], 1),
-        "fcn_device_sec_per_slide": round(fcn_dev["sec_per_slide"], 3),
+        "fcn_device_sec_per_slide": round(fcn_dev["sec_per_slide"], 3)
+        if fcn_dev["sec_per_slide"] is not None else None,
         "grid_device_sec_per_slide": round(grid_dev["sec_per_slide"], 3),
         "grid_e2e_patches_per_sec": round(e2e_grid.patches_per_sec, 1),
         "grid_e2e_sec_per_slide": round(e2e_grid.seconds, 2),

@@ -212,3 +212,35 @@ def test_ssr_cls_dataset(tmp_path):
     b = next(ds.batches())
     assert b["image"].shape == (2, 64, 64, 3)
     assert b["cls_label"].shape == (2,)
+
+
+def test_cls_ratios_ssr_segmentation(ssr_dir):
+    from wsiseg_tpu.data.ssr import cls_ratios_ssr
+    cfg = default_config()
+    r = cls_ratios_ssr(ssr_dir, cfg)
+    # fixtures: top half one-hot class (i%3)+1, bottom half background
+    assert abs(r.sum() - 1.0) < 1e-9
+    assert abs(r[0] - 0.5) < 1e-6          # background = half of every mask
+    assert all(abs(r[c] - 0.5 / 3) < 1e-6 for c in (1, 2, 3))
+    # ignore_index zeroes a class without renormalizing (reference
+    # utils/preprocessing.py:306-309 divides before zeroing)
+    r0 = cls_ratios_ssr(ssr_dir, cfg, ignore_index=0)
+    assert r0[0] == 0.0
+
+
+def test_cls_ratios_ssr_classification(tmp_path):
+    from wsiseg_tpu.data.ssr import cls_ratios_ssr
+    cfg = default_config()
+    store = {f"s{i}": {0: {"image": "x.png", "label": i % 2}}
+             for i in range(4)}
+    md.save_store(store, str(tmp_path))
+    r = cls_ratios_ssr(str(tmp_path), cfg, option="classification")
+    np.testing.assert_allclose(r, [0.5, 0.5, 0.0, 0.0])
+
+
+def test_cls_ratios_hr(hr_store):
+    from wsiseg_tpu.data.ssr import cls_ratios_hr
+    cfg = default_config(compute_dtype="float32")
+    r = cls_ratios_hr(hr_store, cfg)
+    assert abs(r.sum() - 1.0) < 1e-9
+    np.testing.assert_allclose(r, [0.0, 0.5, 0.5, 0.0])

@@ -94,5 +94,24 @@ def make_preprocess(cfg: Config, train: bool = True):
     return jax.jit(preprocess)
 
 
+def parse_eval_flags(argv):
+    """Shared --fcn/--sharded pre-parser for the eval CLIs. Returns
+    (namespace, remaining_argv)."""
+    import argparse
+
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--fcn", action="store_true",
+                   help="ScanNet-style FCN mode (each pixel computed once)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard each slide's tile stream over all devices")
+    ns, rest = p.parse_known_args(argv)
+    return ns, rest
+
+
+def make_eval_mesh(cfg: Config):
+    from wsiseg_tpu.parallel.mesh import make_mesh
+    return make_mesh(cfg)
+
+
 def variables_of(state: TrainState) -> dict:
     return {"params": state.params, "batch_stats": state.batch_stats}

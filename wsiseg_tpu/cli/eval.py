@@ -21,10 +21,8 @@ from wsiseg_tpu.train.state import TrainState
 def _eval(cfg: Config, fcn: bool = False, sharded: bool = False) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg)
-    mesh = None
-    if sharded:
-        from wsiseg_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(cfg)
+    from wsiseg_tpu.cli.common import make_eval_mesh
+    mesh = make_eval_mesh(cfg) if sharded else None
     results = {}
     for src in filter(None, [cfg.raw_val_pth, cfg.raw_val1_pth]):
         collection = SlideCollection(src, cfg)
@@ -35,13 +33,8 @@ def _eval(cfg: Config, fcn: bool = False, sharded: bool = False) -> dict:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    import argparse
-    p = argparse.ArgumentParser(add_help=False)
-    p.add_argument("--fcn", action="store_true",
-                   help="ScanNet-style FCN mode (each pixel computed once)")
-    p.add_argument("--sharded", action="store_true",
-                   help="shard each slide's tile stream over all devices")
-    ns, rest = p.parse_known_args(argv)
+    from wsiseg_tpu.cli.common import parse_eval_flags
+    ns, rest = parse_eval_flags(argv)
     _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
 
 

@@ -19,21 +19,14 @@ def _eval(cfg: Config, mode: str = "seg", fcn: bool = False,
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg, mode=mode)
     collection = SlideCollection(cfg.raw_val_pth, cfg)
-    mesh = None
-    if sharded:
-        from wsiseg_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(cfg)
+    from wsiseg_tpu.cli.common import make_eval_mesh
+    mesh = make_eval_mesh(cfg) if sharded else None
     return predict_tumorbed(engine, collection, epoch, fcn=fcn, mesh=mesh)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
-    import argparse
-    p = argparse.ArgumentParser(add_help=False)
-    p.add_argument("--fcn", action="store_true",
-                   help="ScanNet-style FCN mode (each pixel computed once)")
-    p.add_argument("--sharded", action="store_true",
-                   help="shard each slide's tile stream over all devices")
-    ns, rest = p.parse_known_args(argv)
+    from wsiseg_tpu.cli.common import parse_eval_flags
+    ns, rest = parse_eval_flags(argv)
     _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
 
 

@@ -55,8 +55,10 @@ def prefetch_to_device(batch_iter: Iterator, depth: int = 2,
 class ThreadedBatcher:
     """Run a batch-producing callable on N threads, fan-in to one queue.
 
-    Used by the dense-inference engine to decode/assemble tile batches for
-    several slides while the TPU is busy with the current one.
+    General-purpose host-side fan-in for multi-source batch production
+    (e.g. decoding tile batches for several slides concurrently); the
+    dense-inference engine's single-slide streamed path uses
+    :func:`prefetch_to_device` directly.
     """
 
     def __init__(self, make_iters: list[Callable[[], Iterator]],

@@ -189,11 +189,14 @@ class DenseInferenceEngine:
     @staticmethod
     def _fcn_geometry(h: int, w: int, chunk, halo: int):
         """Resolve FCN chunking. ``chunk=None`` → one rectangular chunk
-        covering the image (dims rounded up to the network's /32 stride);
-        an int applies square chunks of that size."""
+        covering the image, dims rounded up to 512 multiples — one forward
+        per slide (minimal halo waste) while bucketing padded shapes so a
+        multi-slide eval compiles at most a handful of graph variants
+        (chunk_h/chunk_w are static jit args). An int applies square
+        chunks of that size."""
         if chunk is None:
-            ch = -(-h // 32) * 32
-            cw = -(-w // 32) * 32
+            ch = max(512, -(-h // 512) * 512)
+            cw = max(512, -(-w // 512) * 512)
             return ch, cw, 1, 1
         ch = cw = int(chunk)
         return ch, cw, -(-h // ch), -(-w // cw)
@@ -311,7 +314,7 @@ class DenseInferenceEngine:
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
-    def predict_slide_fcn(self, plan: SlidePlan, chunk: int = 2048,
+    def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False) -> SlideResult:
         """ScanNet-style FCN mode: halo-padded chunks, each output pixel
@@ -431,16 +434,9 @@ class DenseInferenceEngine:
                 return self._post(cv, mask)
         else:
             level_img = jnp.asarray(img)
-            xs, ys = plan.grid.xs, plan.grid.ys
             bs = self.batch
-            pad = (-n) % bs
-            xs_p = jnp.asarray(np.concatenate(
-                [xs, np.zeros(pad, np.int32)]).reshape(-1, bs))
-            ys_p = jnp.asarray(np.concatenate(
-                [ys, np.zeros(pad, np.int32)]).reshape(-1, bs))
-            valid = jnp.asarray(np.concatenate(
-                [np.ones(n, np.float32),
-                 np.zeros(pad, np.float32)]).reshape(-1, bs))
+            xs_p, ys_p, valid = (jnp.asarray(a) for a in self._pad_grid(
+                plan.grid.xs, plan.grid.ys, bs))
             n_batches = xs_p.shape[0]
             run_pass = self._seg_full if self.mode == "seg" else self._cls_full
 

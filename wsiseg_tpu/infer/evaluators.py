@@ -58,23 +58,29 @@ def _pipelined_results(engine: DenseInferenceEngine,
     the multi-slide production pattern; the reference processes slides
     strictly serially, utils/eval.py:174-177). With ``mesh`` each slide's
     tile stream is sharded across the device mesh instead."""
+    if mesh is not None and fcn:
+        raise ValueError("fcn and mesh (sharded) are mutually exclusive: "
+                         "sharded inference runs grid mode only")
     items = list(collection.items())
     if mesh is not None:
         for name, plan in items:
             yield name, plan, engine.predict_slide_sharded(plan, mesh)
         return
-    staged = None
-    if not fcn and items:
-        staged = engine.stage_slide(items[0][1])
-    for idx, (name, plan) in enumerate(items):
-        if fcn:
-            res = engine.predict_slide_fcn(plan)
-        else:
-            nxt = (engine.stage_slide(items[idx + 1][1])
+    if fcn:
+        for name, plan in items:
+            yield name, plan, engine.predict_slide_fcn(plan)
+        return
+    # one-ahead staging on a worker thread: overlaps BOTH the host-side
+    # level decode and the H2D upload with the current slide's compute
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        staged = pool.submit(engine.stage_slide, items[0][1]) if items else None
+        for idx, (name, plan) in enumerate(items):
+            nxt = (pool.submit(engine.stage_slide, items[idx + 1][1])
                    if idx + 1 < len(items) else None)
-            res = engine.predict_slide(plan, level_img=staged)
+            res = engine.predict_slide(plan, level_img=staged.result())
             staged = nxt
-        yield name, plan, res
+            yield name, plan, res
 
 
 def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,

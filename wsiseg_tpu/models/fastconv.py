@@ -69,9 +69,14 @@ def decoder_conv_factory(base_conv, dtype, param_dtype,
 
     def make(features, kernel_size, *args, **kw):
         strides = args[0] if args else kw.get("strides")
-        if (tuple(kernel_size) == (3, 3)
+        padding = kw.get("padding")
+        same_pad = padding in (None, "SAME", [(1, 1), (1, 1)],
+                               ((1, 1), (1, 1)))
+        if (isinstance(kernel_size, (tuple, list))
+                and tuple(kernel_size) == (3, 3)
                 and features <= tap_max_features
-                and strides in (None, (1, 1), 1)):
+                and strides in (None, (1, 1), 1)
+                and same_pad):
             return TapConv(features, use_bias=kw.get("use_bias", True),
                            dtype=dtype, param_dtype=param_dtype,
                            name=kw.get("name"))

@@ -84,10 +84,20 @@ def timed(label: str, log=print):
     after all queued work (``block_until_ready`` is unreliable over this
     environment's TPU relay, and ``effects_barrier`` only waits for
     side-effecting computations)."""
-    import jax
-    import jax.numpy as jnp
-
     t0 = time.time()
     yield
-    float(jax.jit(lambda: jnp.zeros(()))())
+    float(_sync_fn()())
     log(f"{label}: {time.time() - t0:.3f}s")
+
+
+_SYNC = []
+
+
+def _sync_fn():
+    """Compile the trivial sync graph once (per-call jit(lambda) would pay
+    a fresh trace+compile inside every timed window)."""
+    if not _SYNC:
+        import jax
+        import jax.numpy as jnp
+        _SYNC.append(jax.jit(lambda: jnp.zeros(())))
+    return _SYNC[0]
