@@ -10,7 +10,9 @@ TPU-first redesign of reference utils/eval.py:
   overlap-added into a device-resident float32 logit canvas
   (``ops/stitch.scatter_add_tiles``), replacing the host numpy loop at
   utils/eval.py:208-215;
-* one canvas donation per batch keeps the accumulation in-place in HBM;
+* the whole-slide pass is one dispatch whose canvas is the loop carry —
+  XLA keeps the accumulation in-place in HBM (the streamed path also
+  donates its canvas buffer per batch);
 * post-processing (softmax gating, heatmap, tissue masking, morphology)
   also runs on device; only final PNGs and hull vertices touch the host.
 
@@ -64,11 +66,13 @@ class DenseInferenceEngine:
     def __init__(self, model: YNet, variables: Dict, cfg: Config,
                  mode: str = "seg", batch_size: Optional[int] = None,
                  fast_seg: bool = True):
-        if cfg.scan_level != 2 and mode == "seg":
-            # The reference's stitching only type-checks at scan_level 2 for
-            # seg mode (utils/eval.py:183-215 assumes m*tile == tile).
+        if cfg.scan_level != 2:
+            # The canvas lives at level 2 and tile origins are scan-level
+            # coordinates; without the reference's m-scaling of offsets
+            # (utils/eval.py:210-215) any other level would mis-place
+            # windows — reject for BOTH seg and cls modes.
             raise NotImplementedError(
-                "seg-mode dense inference requires scan_level == 2")
+                "dense inference requires scan_level == 2")
         self.model = model
         self.variables = variables
         self.cfg = cfg

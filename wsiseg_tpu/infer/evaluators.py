@@ -38,12 +38,15 @@ def _load_gt_artifacts(plan, shape_hw):
     if plan.path:
         mask_pth = plan.path + "_mask.png"
         if os.path.exists(mask_pth):
-            g = Image.open(mask_pth).resize((shape_hw[1], shape_hw[0]))
+            # NEAREST: bicubic would interpolate class codes into invalid
+            # classes at boundaries
+            g = Image.open(mask_pth).resize((shape_hw[1], shape_hw[0]),
+                                            Image.NEAREST)
             out["gt"] = np.array(g)
         tb_pth = plan.path + "_tumor_bed.png"
         if os.path.exists(tb_pth):
             tb = Image.open(tb_pth).convert("L").resize(
-                (shape_hw[1], shape_hw[0]))
+                (shape_hw[1], shape_hw[0]), Image.NEAREST)
             out["tb_gt"] = (np.array(tb) > 0).astype(np.uint8)
     return out
 

@@ -64,13 +64,15 @@ def label_propagation(mask: jnp.ndarray, max_iters: int | None = None,
     """On-device CC labeling by iterative min-label propagation.
 
     Each foreground pixel starts with a unique id; every step takes the min
-    over its neighborhood; converges to per-component minima in O(diameter)
-    steps. Returns int32 labels (0 = background, component ids are arbitrary
-    but distinct)."""
+    over its neighborhood; converges to per-component minima in O(geodesic
+    diameter) steps — which can reach O(H·W) for serpentine components, so
+    the default cap is H·W (the while_loop exits as soon as a step changes
+    nothing, so a generous cap costs nothing once converged). Returns int32
+    labels (0 = background, component ids are arbitrary but distinct)."""
     m = mask > 0
     h, w = m.shape
     if max_iters is None:
-        max_iters = h + w
+        max_iters = h * w
     ids = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1)
     big = jnp.int32(h * w + 2)

@@ -18,18 +18,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _plusplus_init(key: jax.Array, points: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k-means++ seeding (greedy D² sampling)."""
+def _plusplus_init(key: jax.Array, points: jnp.ndarray, k: int,
+                   weights: jnp.ndarray) -> jnp.ndarray:
+    """k-means++ seeding (greedy weighted D² sampling). Zero-weight
+    (padding) points can never be chosen as seeds."""
     n = points.shape[0]
     k0, key = jax.random.split(key)
-    first = points[jax.random.randint(k0, (), 0, n)]
-    centers = jnp.zeros((k, points.shape[1]), points.dtype).at[0].set(first)
+    first_idx = jax.random.choice(
+        k0, n, p=weights / jnp.maximum(jnp.sum(weights), 1e-12))
+    centers = jnp.zeros((k, points.shape[1]),
+                        points.dtype).at[0].set(points[first_idx])
 
     def body(i, state):
         centers, key = state
         d2 = jnp.min(
             jnp.sum((points[:, None, :] - centers[None, :, :]) ** 2, -1)
             + jnp.where(jnp.arange(k)[None, :] >= i, jnp.inf, 0.0), axis=1)
+        d2 = d2 * weights
         key, sub = jax.random.split(key)
         probs = d2 / jnp.maximum(jnp.sum(d2), 1e-12)
         idx = jax.random.choice(sub, n, p=probs)
@@ -54,7 +59,7 @@ def kmeans(key: jax.Array, points: jnp.ndarray, k: int,
     n = points.shape[0]
     w = jnp.ones((n,), jnp.float32) if weights is None else weights.astype(jnp.float32)
 
-    centers = _plusplus_init(key, points, k)
+    centers = _plusplus_init(key, points, k, w)
 
     def step(_, centers):
         # ||p - c||² = ||p||² - 2 p·c + ||c||²; argmin over c drops ||p||².

@@ -64,12 +64,13 @@ def fill_holes(mask: jnp.ndarray, max_iters: int | None = None) -> jnp.ndarray:
 
     Flood-fills background from the image border; anything background not
     reached is a hole. The while_loop runs until the reachable set stops
-    growing (at most H+W steps; ``max_iters`` caps it).
+    growing (early-exits once nothing grows; the default cap H·W covers
+    serpentine background corridors whose geodesic length exceeds H+W).
     """
     m = mask > 0
     h, w = m.shape[-2], m.shape[-1]
     if max_iters is None:
-        max_iters = h + w
+        max_iters = h * w
 
     bg = ~m
     seed = jnp.zeros_like(bg)

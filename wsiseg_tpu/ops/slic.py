@@ -77,8 +77,6 @@ def _slic_core(lab_img: jnp.ndarray, n_segments: int, compactness: float,
     centers = jnp.concatenate([c_lab, cy0[:, None], cx0[:, None]], -1)
 
     def step(_, centers):
-        d_lab = (jnp.sum(flat[:, None, :3] ** 2, -1, keepdims=False)[:, None]
-                 if False else None)
         # color distance² + scaled spatial distance², with 2S locality mask
         d_color = (jnp.sum(flat[:, :3] ** 2, -1)[:, None]
                    - 2.0 * flat[:, :3] @ centers[:, :3].T
