@@ -35,7 +35,8 @@ def train(cfg: Config) -> Trainer:
             from wsiseg_tpu.infer.evaluators import predict_breastpathq
             pth = predict_breastpathq(model, variables_of(st), cfg, epoch,
                                       cfg.patch_folder, cfg.label_csv_path)
-            return {"submission": pth} if isinstance(pth, dict) else {}
+            print(f"wrote submission {pth}")
+            return {}
     elif cfg.val_image_pth:
         def validate_fn(st, epoch):
             import os
