@@ -28,9 +28,15 @@
 
 namespace {
 
-thread_local std::string g_error;
+/* Global (mutex-guarded), not thread_local: read_tiles workers set errors
+ * from pool threads and the caller reads from its own thread. */
+std::mutex g_error_mu;
+std::string g_error;
 
-void set_error(const std::string &msg) { g_error = msg; }
+void set_error(const std::string &msg) {
+  std::lock_guard<std::mutex> lock(g_error_mu);
+  g_error = msg;
+}
 
 struct LevelInfo {
   int64_t w = 0, h = 0;
@@ -45,6 +51,8 @@ class Slide {
   /* Read (w × h) RGB at level coordinates (x, y) of level k. */
   virtual int read(int64_t x, int64_t y, int k, int64_t w, int64_t h,
                    uint8_t *out) = 0;
+  /* Cumulative count of undecodable tiles/strips seen by this handle. */
+  virtual int64_t decode_failures() const { return 0; }
 };
 
 /* ------------------------------ RawSlide ------------------------------ */
@@ -83,14 +91,26 @@ class RawSlide : public Slide {
     auto *s = new RawSlide();
     s->base_ = base;
     s->size_ = st.st_size;
+    /* Header dims are untrusted: validate positivity and accumulate the
+     * plane offsets with overflow checks, else a crafted header with
+     * negative/huge w*h can pass the truncation check below while read()
+     * computes out-of-bounds plane pointers (ADVICE.md round-1). */
+    constexpr int64_t kMaxDim = int64_t(1) << 40;
     int64_t offset = sizeof(RawHeader);
     for (int k = 0; k < hdr->levels; ++k) {
       LevelInfo li;
       li.w = hdr->dims[2 * k];
       li.h = hdr->dims[2 * k + 1];
+      int64_t plane;
+      if (li.w <= 0 || li.h <= 0 || li.w > kMaxDim || li.h > kMaxDim ||
+          __builtin_mul_overflow(li.w * 3, li.h, &plane) ||
+          __builtin_add_overflow(offset, plane, &offset)) {
+        delete s;
+        set_error("bad wsiraw level dims");
+        return nullptr;
+      }
       s->levels_.push_back(li);
-      s->offsets_.push_back(offset);
-      offset += li.w * li.h * 3;
+      s->offsets_.push_back(offset - plane);
     }
     if (offset > st.st_size) {
       delete s;
@@ -263,13 +283,22 @@ class TiffSlide : public Slide {
     if (tw == 0 || th == 0) return -1;
     std::vector<uint32_t> raster((size_t)tw * th);
 
+    int64_t failed = 0;
     int64_t tx0 = std::max<int64_t>(0, x) / tw * tw;
     int64_t ty0 = std::max<int64_t>(0, y) / th * th;
     for (int64_t ty = ty0; ty < std::min(li.h, y + h); ty += th) {
       for (int64_t tx = tx0; tx < std::min(li.w, x + w); tx += tw) {
-        if (!TIFFReadRGBATile(tif, (uint32_t)tx, (uint32_t)ty,
-                              raster.data()))
-          continue;  // undecodable tile: leave white
+        /* Ext + stop_on_error=1: plain TIFFReadRGBATile IGNORES decode
+         * errors (stoponerr=0) and returns success over garbage. */
+        if (!TIFFReadRGBATileExt(tif, (uint32_t)tx, (uint32_t)ty,
+                                 raster.data(), 1)) {
+          /* Undecodable tile (e.g. Aperio JPEG2000, compression 33003/
+           * 33005, which libtiff cannot decode). FAIL LOUDLY — a silent
+           * white tile corrupts downstream analysis (VERDICT round-1). */
+          ++failed;
+          decode_failures_.fetch_add(1);
+          continue;
+        }
         /* RGBA tile rows are bottom-up; flip to top-down. After the flip
          * the valid rows of a partial bottom-edge tile (bh < th) sit at
          * offset 0 (verified empirically against coordinate-encoded
@@ -281,6 +310,13 @@ class TiffSlide : public Slide {
         blit(raster.data(), tx, ty, tw, bw, bh, x, y, w, h, out);
       }
     }
+    if (failed > 0) {
+      set_error("undecodable TIFF tiles: " + std::to_string(failed) +
+                " (compression " + std::to_string(compression(tif)) +
+                "; Aperio JPEG2000 (33003/33005) is not decodable by "
+                "libtiff — convert the slide or use an OpenJPEG build)");
+      return -1;
+    }
     return 0;
   }
 
@@ -291,16 +327,38 @@ class TiffSlide : public Slide {
     if (rps == 0) rps = (uint32_t)li.h;
     std::vector<uint32_t> raster((size_t)li.w * rps);
 
+    int64_t failed = 0;
     int64_t sy0 = std::max<int64_t>(0, y) / rps * rps;
     for (int64_t sy = sy0; sy < std::min(li.h, y + h); sy += rps) {
       const int64_t rows = std::min<int64_t>(rps, li.h - sy);
-      if (!TIFFReadRGBAStrip(tif, (uint32_t)sy, raster.data())) continue;
+      if (!TIFFReadRGBAStripExt(tif, (uint32_t)sy, raster.data(), 1)) {
+        ++failed;
+        decode_failures_.fetch_add(1);
+        continue;
+      }
       /* strip rows are bottom-up within the strip */
       flip_rows(raster.data(), li.w, rows);
       blit(raster.data(), 0, sy, li.w, li.w, rows, x, y, w, h, out);
     }
+    if (failed > 0) {
+      set_error("undecodable TIFF strips: " + std::to_string(failed) +
+                " (compression " + std::to_string(compression(tif)) + ")");
+      return -1;
+    }
     return 0;
   }
+
+  static uint16_t compression(TIFF *tif) {
+    uint16_t c = 0;
+    TIFFGetFieldDefaulted(tif, TIFFTAG_COMPRESSION, &c);
+    return c;
+  }
+
+ public:
+  int64_t decode_failures() const override { return decode_failures_.load(); }
+
+ private:
+  mutable std::atomic<int64_t> decode_failures_{0};
 
   std::string path_;
   std::vector<LevelInfo> levels_;
@@ -440,9 +498,14 @@ int wsitile_write_raw(const char *path, int levels, const int64_t *ws,
   return 0;
 }
 
-int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
-                        const int64_t *hs, const uint8_t *const *data,
-                        int tile_size) {
+int64_t wsitile_decode_failures(void *handle) {
+  return as_slide(handle)->decode_failures();
+}
+
+int wsitile_write_tiled_compressed(const char *path, int levels,
+                                   const int64_t *ws, const int64_t *hs,
+                                   const uint8_t *const *data, int tile_size,
+                                   int compression, int quality) {
   TIFF *tif = TIFFOpen(path, "w");
   if (!tif) {
     set_error("TIFFOpen(w) failed");
@@ -459,7 +522,9 @@ int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
     TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
     TIFFSetField(tif, TIFFTAG_TILEWIDTH, (uint32_t)tile_size);
     TIFFSetField(tif, TIFFTAG_TILELENGTH, (uint32_t)tile_size);
-    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_NONE);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, (uint16_t)compression);
+    if (compression == COMPRESSION_JPEG)
+      TIFFSetField(tif, TIFFTAG_JPEGQUALITY, quality);
     for (int64_t ty = 0; ty < h; ty += tile_size) {
       for (int64_t tx = 0; tx < w; tx += tile_size) {
         std::memset(buf.data(), 0, buf.size());
@@ -487,6 +552,19 @@ int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
   return 0;
 }
 
-const char *wsitile_last_error(void) { return g_error.c_str(); }
+int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
+                        const int64_t *hs, const uint8_t *const *data,
+                        int tile_size) {
+  return wsitile_write_tiled_compressed(path, levels, ws, hs, data,
+                                        tile_size, COMPRESSION_NONE, 0);
+}
+
+const char *wsitile_last_error(void) {
+  std::lock_guard<std::mutex> lock(g_error_mu);
+  /* leak-free enough: the buffer lives as long as the string object */
+  static thread_local std::string snapshot;
+  snapshot = g_error;
+  return snapshot.c_str();
+}
 
 }  // extern "C"

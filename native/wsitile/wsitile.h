@@ -67,7 +67,22 @@ int wsitile_write_tiled(const char *path, int levels, const int64_t *ws,
                         const int64_t *hs, const uint8_t *const *data,
                         int tile_size);
 
-/* Last error message for this thread (empty string if none). */
+/* Same with an explicit TIFF compression scheme (e.g. 7 = JPEG, quality
+ * 1-100) — produces fixtures matching real Aperio JPEG SVS files. */
+int wsitile_write_tiled_compressed(const char *path, int levels,
+                                   const int64_t *ws, const int64_t *hs,
+                                   const uint8_t *const *data, int tile_size,
+                                   int compression, int quality);
+
+/* Cumulative count of undecodable tiles/strips seen by this handle.
+ * Nonzero means some read returned -1 and data was left white — callers
+ * MUST treat that read as failed (silent white tiles corrupt analysis).
+ * Aperio JPEG2000 SVS (compression 33003/33005) is not decodable by
+ * libtiff; such slides fail loudly here rather than silently. */
+int64_t wsitile_decode_failures(void *handle);
+
+/* Last error message (empty string if none). Errors raised by read_tiles
+ * worker threads are visible here from any thread. */
 const char *wsitile_last_error(void);
 
 #ifdef __cplusplus

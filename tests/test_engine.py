@@ -118,6 +118,41 @@ def test_predict_wsis_with_gt_artifacts(cfg, slide, model_and_vars, tmp_path):
                                        f"cased.svs_{STRIDE}.png"))
 
 
+def test_scan_level_1_matches_per_tile_oracle(cfg, slide, model_and_vars):
+    """Dense inference at scan_level != 2 (reference utils/eval.py:45
+    stitches at the scan level, :67-71 downsamples to level 2): the level-1
+    stitching canvas must equal a per-tile numpy loop at level 1, and the
+    output artifacts land at level-2 dims."""
+    model, variables = model_and_vars
+    cfg1 = cfg.replace(scan_level=1)
+    plan = plan_slide("syn", slide, cfg1, mask_cache_dir=None)
+    assert plan is not None and len(plan.grid) > 0
+    assert plan.stitch_hw == (768, 1024)       # level-1 dims
+    assert plan.canvas_hw == (192, 256)        # level-2 dims
+
+    engine = DenseInferenceEngine(model, variables, cfg1)
+    res = engine.predict_slide(plan, keep_canvas=True)
+
+    level_img = slide.read_level(1)
+    hs, ws = plan.stitch_hw
+    expected = np.zeros((hs, ws, cfg1.num_classes), np.float32)
+
+    @jax.jit
+    def fwd(tile_u8):
+        x = tile_u8.astype(jnp.float32)[None] / 255.0
+        x = normalize(x, cfg1.dataset_mean, cfg1.dataset_std)
+        return model.apply(variables, x, method=YNet.segment)[0]
+
+    for x0, y0 in zip(plan.grid.xs, plan.grid.ys):
+        tile = level_img[y0:y0 + TILE, x0:x0 + TILE]
+        expected[y0:y0 + TILE, x0:x0 + TILE] += np.asarray(fwd(jnp.asarray(tile)))
+
+    np.testing.assert_allclose(res.canvas, expected, atol=2e-3, rtol=1e-3)
+    # outputs downsampled to level 2
+    assert res.labels.shape == (192, 256)
+    assert res.heatmap.shape == (192, 256)
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""

@@ -111,6 +111,113 @@ def test_open_slide_routes_tiff(tmp_path, pyramid_arrays):
     assert isinstance(slide, NativeSlide)
 
 
+def test_jpeg_compressed_tiled_pyramid(tmp_path):
+    """JPEG-compressed tiled TIFF — the layout of real (non-J2K) Aperio SVS
+    files (TIFF compression 7). Decode must round-trip within JPEG loss."""
+    from wsiseg_tpu.slides.native import NativeSlide, write_tiled_pyramid
+
+    H, W = 200, 300
+    # smooth content so JPEG loss stays small
+    iy, ix = np.mgrid[0:H, 0:W]
+    lv0 = np.stack([iy * 255 // H, ix * 255 // W,
+                    ((iy + ix) * 255) // (H + W)], -1).astype(np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    pth = str(tmp_path / "j.svs")
+    write_tiled_pyramid(pth, [lv0, lv1], tile_size=128, compression="jpeg",
+                        quality=95)
+
+    s = NativeSlide(pth)
+    assert s.level_count == 2
+    out = s.read_level(0)
+    assert out.shape == lv0.shape
+    err = np.abs(out.astype(np.int16) - lv0.astype(np.int16)).mean()
+    assert err < 3.0, f"JPEG round-trip error too large: {err}"
+    assert s.decode_failures == 0
+    # threaded batched path over compressed tiles
+    tiles = s.read_tiles([0, 120], [0, 60], level=0, tile_w=64, tile_h=64,
+                         nthreads=2)
+    err = np.abs(tiles[1].astype(np.int16)
+                 - lv0[60:124, 120:184].astype(np.int16)).mean()
+    assert err < 3.0
+
+
+def _write_minimal_tiff_unsupported_compression(path: str) -> None:
+    """Hand-craft a tiled TIFF claiming Aperio JPEG2000 compression (33005)
+    with garbage tile bytes — the real-world failure mode libtiff cannot
+    decode (reference OpenSlide can, utils/dataset.py:121)."""
+    import struct
+
+    width = height = 64
+    tile = b"\x00" * 32                  # garbage "J2K" payload
+    # layout: header(8) | tile data | IFD
+    tile_off = 8
+    ifd_off = tile_off + len(tile)
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI4s", tag, typ, count,
+                           struct.pack("<I", value))
+
+    entries = [
+        entry(256, 3, 1, width),          # ImageWidth
+        entry(257, 3, 1, height),         # ImageLength
+        entry(258, 3, 1, 8),              # BitsPerSample (1 sample: gray)
+        entry(259, 3, 1, 33005),          # Compression: Aperio J2K (YCbCr)
+        entry(262, 3, 1, 1),              # Photometric: BlackIsZero
+        entry(277, 3, 1, 1),              # SamplesPerPixel
+        entry(322, 3, 1, 64),             # TileWidth
+        entry(323, 3, 1, 64),             # TileLength
+        entry(324, 4, 1, tile_off),       # TileOffsets
+        entry(325, 4, 1, len(tile)),      # TileByteCounts
+    ]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
+        f.write(tile)
+        f.write(struct.pack("<H", len(entries)))
+        for e in entries:
+            f.write(e)
+        f.write(struct.pack("<I", 0))     # next IFD
+
+
+def test_undecodable_tiles_fail_loudly(tmp_path):
+    """Aperio JPEG2000-style undecodable tiles must raise (with the count
+    surfaced), not silently return white (round-1 VERDICT missing #4)."""
+    from wsiseg_tpu.slides.native import NativeSlide
+
+    pth = str(tmp_path / "j2k.svs")
+    _write_minimal_tiff_unsupported_compression(pth)
+    s = NativeSlide(pth)
+    with pytest.raises(OSError, match="undecodable"):
+        s.read_region((0, 0), 0, (64, 64))
+    assert s.decode_failures >= 1
+    with pytest.raises(OSError, match="read_tiles"):
+        s.read_tiles([0], [0], level=0, tile_w=64, tile_h=64)
+
+
+def test_corrupt_wsiraw_header_rejected(tmp_path):
+    """Negative/overflowing level dims in a .wsiraw header must be rejected
+    at open (ADVICE.md round-1: OOB plane pointers otherwise)."""
+    import struct
+    from wsiseg_tpu.slides.native import NativeSlide
+
+    pth = str(tmp_path / "evil.wsiraw")
+    magic = 0x77736972617731
+    dims = [0] * 32
+    dims[0], dims[1] = -8, 8              # negative width
+    with open(pth, "wb") as f:
+        f.write(struct.pack("<Qq32q", magic, 1, *dims))
+        f.write(b"\xff" * 1024)
+    with pytest.raises(OSError, match="wsitile_open"):
+        NativeSlide(pth)
+
+    pth2 = str(tmp_path / "evil2.wsiraw")
+    dims[0], dims[1] = 1 << 62, 4         # w*h*3 overflows int64
+    with open(pth2, "wb") as f:
+        f.write(struct.pack("<Qq32q", magic, 1, *dims))
+        f.write(b"\xff" * 1024)
+    with pytest.raises(OSError, match="wsitile_open"):
+        NativeSlide(pth2)
+
+
 def test_tiled_pyramid_partial_edge_tiles(tmp_path):
     """Regression: partial bottom/right edge tiles of a TILED TIFF must
     decode correctly (RGBA tile rows are bottom-up; the valid rows of a

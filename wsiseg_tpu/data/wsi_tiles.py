@@ -35,11 +35,21 @@ class SlidePlan:
     full_grid_len: int             # before foreground gating
     mask: np.ndarray               # tissue mask at level 2
     mask_path: Optional[str]
+    scan_level: int = 2
 
     @property
     def canvas_hw(self) -> Tuple[int, int]:
-        """Heatmap canvas dims: level-2 (h, w) (reference utils/eval.py:182)."""
+        """Heatmap/output canvas dims: level-2 (h, w)
+        (reference utils/eval.py:67-71 downsamples predictions to level 2)."""
         w, h = self.slide.level_dimensions[2]
+        return h, w
+
+    @property
+    def stitch_hw(self) -> Tuple[int, int]:
+        """Stitching canvas dims: scan-level (h, w) — predictions are
+        overlap-added at the scan level (reference utils/eval.py:45,60) and
+        only then downsampled to level 2."""
+        w, h = self.slide.level_dimensions[self.scan_level]
         return h, w
 
 
@@ -78,7 +88,8 @@ def plan_slide(name: str, slide: SlideReader, cfg: Config,
     if len(grid) == 0:
         return None
     return SlidePlan(name=name, slide=slide, path=path, grid=grid,
-                     full_grid_len=full_len, mask=mask, mask_path=mask_path)
+                     full_grid_len=full_len, mask=mask, mask_path=mask_path,
+                     scan_level=cfg.scan_level)
 
 
 class SlideCollection:

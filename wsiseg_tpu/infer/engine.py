@@ -66,13 +66,6 @@ class DenseInferenceEngine:
     def __init__(self, model: YNet, variables: Dict, cfg: Config,
                  mode: str = "seg", batch_size: Optional[int] = None,
                  fast_seg: bool = True):
-        if cfg.scan_level != 2:
-            # The canvas lives at level 2 and tile origins are scan-level
-            # coordinates; without the reference's m-scaling of offsets
-            # (utils/eval.py:210-215) any other level would mis-place
-            # windows — reject for BOTH seg and cls modes.
-            raise NotImplementedError(
-                "dense inference requires scan_level == 2")
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -92,7 +85,15 @@ class DenseInferenceEngine:
                                  static_argnames=("n_batches", "bs"))
         self._fcn_full = jax.jit(self._fcn_full_pass,
                                  static_argnames=("chunk_h", "chunk_w", "halo", "ny", "nx"))
-        self._post = jax.jit(self._postprocess)
+        self._post = jax.jit(self._postprocess, static_argnames=("out_hw",))
+        # jit once here, not per call: each retrace costs a full remote
+        # compile (ADVICE.md round-1 medium finding)
+        self._streamed_step = jax.jit(self._streamed_batch,
+                                      donate_argnums=(1,))
+        # sharded executables memoized on (mode, mesh, geometry) — the
+        # shard_map closure captures static shapes, so repeated slides with
+        # the same geometry reuse one compiled program
+        self._sharded_cache: Dict[tuple, Callable] = {}
 
     # ---- jitted passes ----
 
@@ -134,12 +135,17 @@ class DenseInferenceEngine:
                 "linear")
         return seg
 
-    def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid):
+    def _seg_tile_batch(self, variables, level_img, canvas, ys, xs, valid,
+                        scatter_ys=None):
+        """Gather tiles at (ys, xs), forward, overlap-add into the canvas.
+        ``scatter_ys`` overrides the canvas row origins (row-sharded canvas:
+        gather at global coords, scatter at stripe-local coords)."""
         cfg = self.cfg
         tiles = gather_tiles(level_img, ys, xs, cfg.tile_h, cfg.tile_w)
         seg = self._seg_forward_tiles(variables, tiles)
         seg = seg * valid[:, None, None, None]
-        return scatter_add_tiles(canvas, seg, ys, xs)
+        return scatter_add_tiles(
+            canvas, seg, ys if scatter_ys is None else scatter_ys, xs)
 
     def _seg_full_pass(self, variables, level_img, canvas, ys_all, xs_all,
                        valid_all, *, n_batches: int, bs: int):
@@ -205,7 +211,13 @@ class DenseInferenceEngine:
         ch = cw = int(chunk)
         return ch, cw, -(-h // ch), -(-w // cw)
 
-    def _postprocess(self, canvas, mask_u8):
+    def _postprocess(self, canvas, mask_u8, *, out_hw: Optional[Tuple[int, int]] = None):
+        if out_hw is not None and canvas.shape[:2] != out_hw:
+            # stitching happened at scan_level != 2: downsample the logit
+            # canvas to level-2 dims (reference utils/eval.py:67-71 does
+            # this per class with cv2.resize before thresholding)
+            canvas = jax.image.resize(
+                canvas, (*out_hw, canvas.shape[-1]), "linear")
         labels, probs = threshold_probs(canvas, self.cfg.class_probs)
         if self.mode == "cls":
             heat = probs[..., 1]
@@ -237,8 +249,8 @@ class DenseInferenceEngine:
 
         if level_img is None:
             level_img = jnp.asarray(plan.slide.read_level(cfg.scan_level))
-        h2, w2 = plan.canvas_hw
-        canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+        hs, ws = plan.stitch_hw
+        canvas = jnp.zeros((hs, ws, cfg.num_classes), jnp.float32)
 
         xs, ys = plan.grid.xs, plan.grid.ys
         n = len(xs)
@@ -270,8 +282,8 @@ class DenseInferenceEngine:
 
         cfg = self.cfg
         t0 = time.time()
-        h2, w2 = plan.canvas_hw
-        canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+        hs, ws = plan.stitch_hw
+        canvas = jnp.zeros((hs, ws, cfg.num_classes), jnp.float32)
 
         xs, ys = plan.grid.xs, plan.grid.ys
         n = len(xs)
@@ -298,7 +310,7 @@ class DenseInferenceEngine:
                        "xs": bx.astype(np.int32),
                        "valid": valid[bi]}
 
-        step = jax.jit(self._streamed_batch, donate_argnums=(1,))
+        step = self._streamed_step
         for b in prefetch_to_device(host_batches(),
                                     depth=cfg.prefetch_depth):
             canvas = step(self.variables, canvas, b["tiles"], b["ys"],
@@ -329,7 +341,7 @@ class DenseInferenceEngine:
         t0 = time.time()
         img = plan.slide.read_level(cfg.scan_level)
         h, w = img.shape[:2]
-        h2, w2 = plan.canvas_hw
+        hs, ws = plan.stitch_hw
 
         ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
         img_pad = np.pad(
@@ -338,7 +350,7 @@ class DenseInferenceEngine:
             constant_values=255)
         canvas = self._fcn_full(self.variables, jnp.asarray(img_pad),
                                 chunk_h=ch, chunk_w=cw, halo=halo,
-                                ny=ny, nx=nx)[:h2, :w2]
+                                ny=ny, nx=nx)[:hs, :ws]
         return self._finish(plan, canvas, len(plan.grid), t0,
                             keep_canvas, keep_probs)
 
@@ -356,12 +368,8 @@ class DenseInferenceEngine:
         replicated (one broadcast); stitching math is identical to
         :meth:`predict_slide`.
         """
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if self.mode != "seg":
-            raise NotImplementedError(
-                "predict_slide_sharded supports seg mode only")
         cfg = self.cfg
         t0 = time.time()
         n_dev = mesh.shape[axis]
@@ -370,7 +378,7 @@ class DenseInferenceEngine:
         level_img = jax.device_put(
             jnp.asarray(plan.slide.read_level(cfg.scan_level)),
             NamedSharding(mesh, P()))
-        h2, w2 = plan.canvas_hw
+        hs, ws = plan.stitch_hw
 
         xs, ys = plan.grid.xs, plan.grid.ys
         n = len(xs)
@@ -388,23 +396,180 @@ class DenseInferenceEngine:
         ys_d = jax.device_put(ys_p.reshape(shape3), sh)
         val_d = jax.device_put(valid.reshape(shape3), sh)
 
+        run = self._sharded_psum_run(mesh, axis, hs, ws, n_batches)
+        variables_r = jax.device_put(self.variables,
+                                     NamedSharding(mesh, P()))
+        canvas = run(variables_r, level_img, ys_d, xs_d, val_d)
+        return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def _sharded_psum_run(self, mesh, axis: str, hs: int, ws: int,
+                          n_batches: int) -> Callable:
+        """Compiled psum-merge sharded pass, memoized on (mode, mesh,
+        geometry) so repeated slides reuse one executable (ADVICE.md)."""
+        key = ("psum", self.mode, id(mesh), axis, hs, ws, n_batches,
+               self.batch)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(), P(axis), P(axis), P(axis)),
                  out_specs=P(), check_rep=False)
         def run(variables, img, ys_s, xs_s, val_s):
-            canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+            canvas = jnp.zeros((hs, ws, cfg.num_classes), jnp.float32)
 
-            def body(i, cv):
-                return self._seg_tile_batch(variables, img, cv, ys_s[0, i],
-                                            xs_s[0, i], val_s[0, i])
+            if self.mode == "cls":
+                def body(i, cv):
+                    tiles = gather_tiles(img, ys_s[0, i], xs_s[0, i],
+                                         cfg.tile_h, cfg.tile_w)
+                    x = self._normalize(tiles)
+                    logits = self.model.apply(variables, x,
+                                              method=YNet.classify)
+                    logits = logits * val_s[0, i][:, None]
+                    return scatter_add_scalar_tiles(cv, logits, ys_s[0, i],
+                                                    xs_s[0, i], cfg.tile_h,
+                                                    cfg.tile_w)
+            else:
+                def body(i, cv):
+                    return self._seg_tile_batch(variables, img, cv,
+                                                ys_s[0, i], xs_s[0, i],
+                                                val_s[0, i])
 
             canvas = jax.lax.fori_loop(0, n_batches, body, canvas)
             return jax.lax.psum(canvas, axis)
 
+        fn = jax.jit(run)
+        self._sharded_cache[key] = fn
+        return fn
+
+    def predict_slide_sharded_rows(self, plan: SlidePlan, mesh,
+                                   axis: str = "data",
+                                   keep_canvas: bool = False,
+                                   keep_probs: bool = False) -> SlideResult:
+        """Multi-chip dense inference with a ROW-SHARDED logit canvas.
+
+        Each device owns a horizontal stripe of the stitching canvas
+        (``parallel/mesh.canvas_row_sharding``) instead of a full replica —
+        per-device canvas memory drops by ``n_dev`` (the psum variant holds
+        a full (H, W, C) f32 canvas on every chip: ~500 MB/device for a
+        100k×80k slide at level 2). Tiles are routed to devices by their
+        y-origin stripe; a tile overhanging its stripe writes the overhang
+        into local halo rows which are then shifted to the neighbor
+        device(s) with ``ppermute`` and added — the WSI analog of
+        sequence-parallel halo exchange (SURVEY.md §5 long-context note).
+
+        Stitching math is identical to :meth:`predict_slide`; an
+        exact-equality test vs the psum path covers it. Load balance
+        follows the tissue distribution across stripes (tiles cluster where
+        tissue is), so prefer :meth:`predict_slide_sharded` when canvas
+        memory is not a concern.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.cfg
+        t0 = time.time()
+        n_dev = mesh.shape[axis]
+        bs = self.batch
+
+        level_img = jax.device_put(
+            jnp.asarray(plan.slide.read_level(cfg.scan_level)),
+            NamedSharding(mesh, P()))
+        hs, ws = plan.stitch_hw
+        stripe = -(-hs // n_dev)            # rows per device stripe
+
+        # route tiles to stripes by y-origin; pad each stripe's list to the
+        # max per-stripe count (in whole batches)
+        xs, ys = plan.grid.xs, plan.grid.ys
+        n = len(xs)
+        owner = np.minimum(ys // stripe, n_dev - 1)
+        per = [np.flatnonzero(owner == d) for d in range(n_dev)]
+        n_batches = max(1, -(-max(len(p) for p in per) // bs))
+        cap = n_batches * bs
+        xs_s = np.zeros((n_dev, cap), np.int32)
+        ys_s = np.zeros((n_dev, cap), np.int32)
+        val_s = np.zeros((n_dev, cap), np.float32)
+        for d, idx in enumerate(per):
+            k = len(idx)
+            xs_s[d, :k] = xs[idx]
+            ys_s[d, :k] = ys[idx]
+            val_s[d, :k] = 1.0
+        shape3 = (n_dev, n_batches, bs)
+        sh = NamedSharding(mesh, P(axis))
+        xs_d = jax.device_put(xs_s.reshape(shape3), sh)
+        ys_d = jax.device_put(ys_s.reshape(shape3), sh)
+        val_d = jax.device_put(val_s.reshape(shape3), sh)
+
+        run = self._sharded_rows_run(mesh, axis, hs, ws, stripe, n_batches)
         variables_r = jax.device_put(self.variables,
                                      NamedSharding(mesh, P()))
-        canvas = jax.jit(run)(variables_r, level_img, ys_d, xs_d, val_d)
+        canvas = run(variables_r, level_img, ys_d, xs_d, val_d)
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def _sharded_rows_run(self, mesh, axis: str, hs: int, ws: int,
+                          stripe: int, n_batches: int) -> Callable:
+        key = ("rows", self.mode, id(mesh), axis, hs, ws, stripe, n_batches,
+               self.batch)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+        n_dev = mesh.shape[axis]
+        # halo chunks below the local stripe a tile can spill into
+        n_halo = -(-(cfg.tile_h - 1) // stripe)
+        local_rows = stripe * (1 + n_halo)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                 out_specs=P(axis, None, None), check_rep=False)
+        def run(variables, img, ys_s, xs_s, val_s):
+            d = jax.lax.axis_index(axis)
+            # local stripe + halo rows; tile y-origins are rebased so the
+            # stripe starts at row 0
+            local = jnp.zeros((local_rows, ws, cfg.num_classes), jnp.float32)
+            y0 = d * stripe
+
+            if self.mode == "cls":
+                def body(i, cv):
+                    tiles = gather_tiles(img, ys_s[0, i], xs_s[0, i],
+                                         cfg.tile_h, cfg.tile_w)
+                    x = self._normalize(tiles)
+                    logits = self.model.apply(variables, x,
+                                              method=YNet.classify)
+                    logits = logits * val_s[0, i][:, None]
+                    return scatter_add_scalar_tiles(
+                        cv, logits, ys_s[0, i] - y0, xs_s[0, i],
+                        cfg.tile_h, cfg.tile_w)
+            else:
+                def body(i, cv):
+                    return self._seg_tile_batch(
+                        variables, img, cv, ys_s[0, i], xs_s[0, i],
+                        val_s[0, i], scatter_ys=ys_s[0, i] - y0)
+
+            local = jax.lax.fori_loop(0, n_batches, body, local)
+
+            # halo exchange: chunk k of the overhang belongs to device d+k
+            main = local[:stripe]
+            for k in range(1, 1 + n_halo):
+                chunk = local[stripe * k:stripe * (k + 1)]
+                perm = [(i, i + k) for i in range(n_dev - k)]
+                recv = jax.lax.ppermute(chunk, axis, perm)
+                main = main + recv
+            return main
+
+        def wrapped(variables, img, ys_d, xs_d, val_d):
+            out = run(variables, img, ys_d, xs_d, val_d)
+            return out[:hs]                  # drop stripe padding rows
+
+        fn = jax.jit(wrapped)
+        self._sharded_cache[key] = fn
+        return fn
 
     def device_throughput(self, plan: SlidePlan, mode: str = "grid",
                           iters: int = 3, chunk=None,
@@ -420,6 +585,7 @@ class DenseInferenceEngine:
         cfg = self.cfg
         n = len(plan.grid)
         h2, w2 = plan.canvas_hw
+        hs, ws = plan.stitch_hw
         img = np.asarray(plan.slide.read_level(cfg.scan_level))
         mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
 
@@ -434,8 +600,8 @@ class DenseInferenceEngine:
             def run():
                 cv = self._fcn_full(self.variables, img_pad, chunk_h=ch,
                                     chunk_w=cw, halo=halo,
-                                    ny=ny, nx=nx)[:h2, :w2]
-                return self._post(cv, mask)
+                                    ny=ny, nx=nx)[:hs, :ws]
+                return self._post(cv, mask, out_hw=(h2, w2))
         else:
             level_img = jnp.asarray(img)
             bs = self.batch
@@ -445,10 +611,10 @@ class DenseInferenceEngine:
             run_pass = self._seg_full if self.mode == "seg" else self._cls_full
 
             def run():
-                canvas = jnp.zeros((h2, w2, cfg.num_classes), jnp.float32)
+                canvas = jnp.zeros((hs, ws, cfg.num_classes), jnp.float32)
                 cv = run_pass(self.variables, level_img, canvas, ys_p, xs_p,
                               valid, n_batches=n_batches, bs=bs)
-                return self._post(cv, mask)
+                return self._post(cv, mask, out_hw=(h2, w2))
 
         def sync(o):
             # block_until_ready is unreliable over the relay (CLAUDE.md);
@@ -468,7 +634,8 @@ class DenseInferenceEngine:
                 keep_canvas: bool, keep_probs: bool) -> SlideResult:
         h2, w2 = plan.canvas_hw
         mask = self._resize_mask_to(plan.mask, (h2, w2))
-        labels, probs, heat_u8 = self._post(canvas, jnp.asarray(mask))
+        labels, probs, heat_u8 = self._post(canvas, jnp.asarray(mask),
+                                            out_hw=(h2, w2))
         # fetch only the small u8 artifacts; the (H, W, C) probs volume
         # stays on device unless requested
         labels, heat_u8 = jax.block_until_ready((labels, heat_u8))

@@ -37,50 +37,75 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) → (3, 3, 4·Cin, 4·Cout) exact s2d-domain kernel.
+def s2d_kernel_f(w, f: int):
+    """(3, 3, Cin, Cout) → (3, 3, f²·Cin, f²·Cout) exact s2d(f)-domain
+    kernel for a stride-1, pad-1 3×3 conv.
 
-    Channel packing order matches ``space_to_depth`` below:
-    s2d channel index = (α·2 + β)·C + c  for sub-position (α, β).
+    Derivation: out[f·I+a_y, f·J+a_x, co] = Σ_d w[d] x[f·I+a+d-1]; writing
+    the input index as cell (I+du, J+dv) and sub-position (b_y, b_x) with
+    f·du + b_y = a_y + d_y - 1 gives du ∈ {-1, 0, 1} for any f ≥ 1 (3×3
+    taps never reach past one neighboring cell). Channel packing matches
+    :func:`space_to_depth`: s2d channel = (α·f + β)·C + c. Computed in
+    numpy (host, tiny) so tracing stays cheap.
     """
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
-    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
-    for a in range(2):
-        for b in range(2):
-            for alpha in range(2):
-                for beta in range(2):
-                    for du in (-1, 0, 1):
-                        dy = 2 * du + alpha - a + 1
-                        if not (0 <= dy <= 2):
-                            continue
-                        for dv in (-1, 0, 1):
-                            dx = 2 * dv + beta - b + 1
-                            if not (0 <= dx <= 2):
-                                continue
-                            src = w[dy, dx]                     # (Cin, Cout)
-                            ci0 = (alpha * 2 + beta) * cin
-                            co0 = (a * 2 + b) * cout
-                            out = out.at[du + 1, dv + 1,
-                                         ci0:ci0 + cin,
-                                         co0:co0 + cout].set(src)
-    return out
+    # constant 0/1 routing tensor (numpy, static shapes); the traced weight
+    # is mapped with one tiny einsum so this works under jit
+    route = _s2d_route(f)
+    out = jnp.einsum("yxuvio,yxcm->uvicom", jnp.asarray(route, w.dtype), w)
+    return out.reshape(3, 3, f * f * cin, f * f * cout)
 
 
-def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) → (B, H/2, W/2, 4C); channel index (α·2+β)·C + c."""
+def _s2d_route(f: int) -> np.ndarray:
+    """(3, 3, 3, 3, f², f²) 0/1 tensor: tap (dy, dx) of the logical kernel
+    → (cell offset du, dv; input sub-position; output sub-position)."""
+    route = np.zeros((3, 3, 3, 3, f * f, f * f), np.float32)
+    for a in range(f):                    # output sub-row
+        for b in range(f):                # output sub-col
+            for dy in range(3):
+                sy = a + dy - 1           # logical row offset from cell row
+                du, by = divmod(sy, f)    # input cell offset, sub-row
+                if not (-1 <= du <= 1):
+                    continue
+                for dx in range(3):
+                    sx = b + dx - 1
+                    dv, bx = divmod(sx, f)
+                    if not (-1 <= dv <= 1):
+                        continue
+                    route[dy, dx, du + 1, dv + 1,
+                          by * f + bx, a * f + b] = 1.0
+    return route
+
+
+def s2d_kernel(w):
+    """(3, 3, Cin, Cout) → (3, 3, 4·Cin, 4·Cout): :func:`s2d_kernel_f` at
+    f = 2 (kept for compatibility with round-1 call sites/tests)."""
+    return s2d_kernel_f(w, 2)
+
+
+def space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/f, W/f, f²C); channel index (α·f+β)·C + c."""
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.reshape(b, h // f, f, w // f, f, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, h // 2, w // 2, 4 * c)
+    return x.reshape(b, h // f, w // f, f * f * c)
 
 
-def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+def depth_to_space(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
     """Inverse of :func:`space_to_depth`."""
-    b, h, w, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
+    b, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(b, h, w, f, f, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, f * h, f * w, c)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2× upsample via broadcast (jax.image.resize's gather
+    lowering is pathologically slow on TPU at slide scale)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
 
 

@@ -78,6 +78,12 @@ def load_library() -> ctypes.CDLL:
                                             p_i64, p_i64,
                                             ctypes.POINTER(p_u8),
                                             ctypes.c_int]
+        lib.wsitile_write_tiled_compressed.restype = ctypes.c_int
+        lib.wsitile_write_tiled_compressed.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, p_i64, p_i64,
+            ctypes.POINTER(p_u8), ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.wsitile_decode_failures.restype = i64
+        lib.wsitile_decode_failures.argtypes = [ctypes.c_void_p]
         lib.wsitile_last_error.restype = ctypes.c_char_p
         _lib = lib
         return lib
@@ -135,6 +141,20 @@ class NativeSlide:
     def level_downsamples(self) -> Tuple[float, ...]:
         return self._downsamples
 
+    def _raise(self, what: str):
+        err = self._lib.wsitile_last_error().decode()
+        nfail = self.decode_failures
+        raise OSError(f"{what} failed on {self.path}: {err} "
+                      f"(cumulative undecodable tiles: {nfail})")
+
+    @property
+    def decode_failures(self) -> int:
+        """Cumulative count of undecodable tiles/strips on this handle.
+        Nonzero means a read raised and white pixels were substituted —
+        loud by design (the reference's OpenSlide would have decoded;
+        silent white tiles corrupt downstream analysis)."""
+        return int(self._lib.wsitile_decode_failures(self._handle))
+
     def read_region(self, location: Tuple[int, int], level: int,
                     size: Tuple[int, int]) -> np.ndarray:
         w, h = int(size[0]), int(size[1])
@@ -143,7 +163,7 @@ class NativeSlide:
             self._handle, int(location[0]), int(location[1]), level,
             w, h, _u8ptr(out))
         if rc != 0:
-            raise OSError(f"read_region failed on {self.path}")
+            self._raise("read_region")
         return out
 
     def read_level(self, level: int) -> np.ndarray:
@@ -152,7 +172,7 @@ class NativeSlide:
         rc = self._lib.wsitile_read_level(self._handle, level, _u8ptr(out),
                                           self._threads)
         if rc != 0:
-            raise OSError(f"read_level failed on {self.path}")
+            self._raise("read_level")
         return out
 
     # ---- batched decode (the TPU input-pipeline hot path) ----
@@ -173,7 +193,7 @@ class NativeSlide:
             self._handle, _i64ptr(xs_a), _i64ptr(ys_a), n, level,
             tile_w, tile_h, _u8ptr(out), nthreads or self._threads)
         if rc != 0:
-            raise OSError(f"read_tiles failed on {self.path}")
+            self._raise("read_tiles")
         return out
 
     def close(self) -> None:
@@ -189,18 +209,26 @@ class NativeSlide:
 
 
 def write_tiled_pyramid(path: str, levels: Sequence[np.ndarray],
-                        tile_size: int = 128) -> str:
-    """Write a multi-directory TILED TIFF pyramid (the SVS-like layout)."""
+                        tile_size: int = 128,
+                        compression: str = "none",
+                        quality: int = 90) -> str:
+    """Write a multi-directory TILED TIFF pyramid (the SVS-like layout).
+
+    ``compression`` "jpeg" writes JPEG-compressed tiles (real Aperio JPEG
+    SVS layout, TIFF compression 7); "none" writes raw tiles."""
     lib = load_library()
     arrs = [np.ascontiguousarray(lv, np.uint8) for lv in levels]
     ws = np.array([a.shape[1] for a in arrs], np.int64)
     hs = np.array([a.shape[0] for a in arrs], np.int64)
     ptrs = (ctypes.POINTER(ctypes.c_uint8) * len(arrs))(
         *[_u8ptr(a) for a in arrs])
-    rc = lib.wsitile_write_tiled(path.encode(), len(arrs), _i64ptr(ws),
-                                 _i64ptr(hs), ptrs, tile_size)
+    comp = {"none": 1, "jpeg": 7, "lzw": 5, "deflate": 8}[compression]
+    rc = lib.wsitile_write_tiled_compressed(
+        path.encode(), len(arrs), _i64ptr(ws), _i64ptr(hs), ptrs, tile_size,
+        comp, quality)
     if rc != 0:
-        raise OSError(f"write_tiled_pyramid({path!r}) failed")
+        err = lib.wsitile_last_error().decode()
+        raise OSError(f"write_tiled_pyramid({path!r}) failed: {err}")
     return path
 
 
