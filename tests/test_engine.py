@@ -153,6 +153,23 @@ def test_scan_level_1_matches_per_tile_oracle(cfg, slide, model_and_vars):
     assert res.heatmap.shape == (192, 256)
 
 
+def test_fcn_fast_whole_image_path(cfg, slide, model_and_vars):
+    """The single-dispatch Pallas-stem FCN path (models/infer_fast) agrees
+    with the chunked flax FCN path (interpret mode on CPU)."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    assert not engine._fcn_fast_ok()          # CPU: off by default
+    engine.fcn_fast_interpret = True
+    assert engine._fcn_fast_ok()
+
+    fast_res = engine.predict_slide_fcn(plan)             # fast path
+    flax_res = engine.predict_slide_fcn(plan, chunk=4096, halo=16)
+    agree = (fast_res.labels == flax_res.labels).mean()
+    assert agree > 0.95, f"fast/flax FCN agreement too low: {agree}"
+    assert fast_res.labels.shape == plan.canvas_hw
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""

@@ -101,6 +101,132 @@ def test_encoder_forward_parity_with_torch(torch_model):
         np.testing.assert_allclose(got, ref, atol=tol, rtol=1e-3)
 
 
+class _TorchConvBnRelu(tnn.Sequential):
+    """smp Conv2dReLU: Sequential(conv, bn, relu) — state_dict keys .0/.1"""
+
+    def __init__(self, cin, cout):
+        super().__init__(tnn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+                         tnn.BatchNorm2d(cout), tnn.ReLU(True))
+
+
+class _TorchDecoderBlock(tnn.Module):
+    def __init__(self, cin, skip, cout):
+        super().__init__()
+        self.conv1 = _TorchConvBnRelu(cin + skip, cout)
+        self.conv2 = _TorchConvBnRelu(cout, cout)
+
+    def forward(self, x, skip=None):
+        x = tnn.functional.interpolate(x, scale_factor=2, mode="nearest")
+        if skip is not None:
+            x = torch.cat([x, skip], dim=1)
+        return self.conv2(self.conv1(x))
+
+
+class _TorchYNet(tnn.Module):
+    """smp-Unet-with-heads replica, state_dict-compatible with the
+    reference checkpoint layout (encoder.*, decoder.blocks.*,
+    segmentation_head.0.*, classifier.fc.0.*, regressor.fc.{0,2}.*)."""
+
+    def __init__(self, num_classes=4):
+        super().__init__()
+        self.encoder = _TorchResNet18()
+        ch = (256, 128, 64, 32, 16)
+        ins = (512, 256, 128, 64, 32)
+        skips = (256, 128, 64, 64, 0)
+        self.decoder = tnn.Module()
+        self.decoder.blocks = tnn.ModuleList(
+            [_TorchDecoderBlock(i, s, c) for i, s, c in zip(ins, skips, ch)])
+        self.segmentation_head = tnn.Sequential(
+            tnn.Conv2d(16, num_classes, 3, 1, 1))
+        self.classifier = tnn.Module()
+        self.classifier.fc = tnn.Sequential(tnn.Linear(512, num_classes))
+        self.regressor = tnn.Module()
+        self.regressor.fc = tnn.Sequential(
+            tnn.Linear(512, 128), tnn.ReLU(True), tnn.Linear(128, 1))
+
+    def forward(self, x):
+        c5, c4, c3, c2, c1 = self.encoder(x)
+        skips = [c4, c3, c2, c1, None]
+        y = c5
+        for blk, skip in zip(self.decoder.blocks, skips):
+            y = blk(y, skip)
+        seg = self.segmentation_head(y)
+        f = c5.mean(dim=(2, 3))
+        return seg, self.classifier.fc(f), self.regressor.fc(f)
+
+
+@pytest.fixture(scope="module")
+def torch_ynet():
+    torch.manual_seed(1)
+    m = _TorchYNet()
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.3)
+                mod.running_var.uniform_(0.5, 1.5)
+    m.eval()
+    return m
+
+
+def test_full_ynet_parity_with_torch(torch_ynet, tmp_path):
+    """Encoder+decoder+heads logits match the torch reference model after a
+    checkpoint-file graft (BASELINE.md row 5, round-1 VERDICT weak #6: the
+    round-1 test covered the encoder only)."""
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.models.torch_import import apply_pretrained
+    from wsiseg_tpu.models.ynet import init_ynet
+
+    x = np.random.RandomState(1).randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        tseg, tcls, treg = torch_ynet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    # save as a reference-style checkpoint and graft via the config path
+    pth = str(tmp_path / "model_resnet18_7.pt")
+    torch.save({"epoch": 7, "state_dict": torch_ynet.state_dict()}, pth)
+
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32",
+                         pretrained_pth=pth)
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+    variables = apply_pretrained(variables, pth)
+
+    out = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out["cls"]), tcls.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["reg"]), treg.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["seg"]), tseg.numpy().transpose(0, 2, 3, 1),
+        atol=2e-3, rtol=1e-3)
+
+
+def test_pretrained_pth_reaches_trainer(torch_model, tmp_path):
+    """cfg.pretrained_pth grafts into setup_ynet's state (round-1 VERDICT
+    missing #1: the converter existed but no trainer could reach it)."""
+    from wsiseg_tpu.cli.common import setup_hr, setup_ynet
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.models.torch_import import _conv_kernel
+
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    pth = str(tmp_path / "resnet18.pt")
+    torch.save(torch_model.state_dict(), pth)
+
+    cfg = default_config(tile_w=32, tile_h=32, compute_dtype="float32",
+                         pretrained_pth=pth,
+                         model_save_pth=str(tmp_path / "m"))
+    model, tx, state, _ = setup_ynet(cfg)
+    np.testing.assert_allclose(
+        np.asarray(state.params["encoder"]["stem_conv"]["kernel"]),
+        _conv_kernel(sd["conv1.weight"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state.batch_stats["encoder"]["layer2_0"]["bn1"]["mean"]),
+        sd["layer2.0.bn1.running_mean"], atol=1e-6)
+
+    _, _, state_hr, _ = setup_hr(cfg)
+    np.testing.assert_allclose(
+        np.asarray(state_hr.params["trunk"]["stem_conv"]["kernel"]),
+        _conv_kernel(sd["conv1.weight"]), atol=1e-6)
+
+
 def test_converter_rejects_shape_mismatch(torch_model):
     sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
     sd["conv1.weight"] = sd["conv1.weight"][:, :, :3, :3]  # corrupt

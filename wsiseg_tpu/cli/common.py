@@ -23,6 +23,11 @@ def setup_ynet(cfg: Config, tile_hw: Optional[Tuple[int, int]] = None):
 
     model, variables = init_ynet(cfg, jax.random.PRNGKey(cfg.seed),
                                  tile_hw=tile_hw)
+    if cfg.pretrained_pth:
+        from wsiseg_tpu.models.torch_import import apply_pretrained
+        variables = apply_pretrained(variables, cfg.pretrained_pth,
+                                     encoder_name="encoder")
+        print(f"grafted pretrained weights from {cfg.pretrained_pth}")
     tx = build_optimizer(cfg)
     state = TrainState.create(variables, tx)
     start_epoch = cfg.start_epoch
@@ -50,6 +55,13 @@ def setup_hr(cfg: Config):
                       jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(cfg.seed), dummy, train=False)
+    if cfg.pretrained_pth:
+        # reference train_hr.py:21-22 resnet18(pretrained=True) —
+        # partial load into the trunk, fc heads stay random
+        from wsiseg_tpu.models.torch_import import apply_pretrained
+        variables = apply_pretrained(variables, cfg.pretrained_pth,
+                                     encoder_name="trunk")
+        print(f"grafted pretrained trunk from {cfg.pretrained_pth}")
     tx = build_optimizer(cfg)
     state = TrainState.create(variables, tx)
     start_epoch = cfg.start_epoch
@@ -111,6 +123,21 @@ def parse_eval_flags(argv):
 def make_eval_mesh(cfg: Config):
     from wsiseg_tpu.parallel.mesh import make_mesh
     return make_mesh(cfg)
+
+
+def make_train_mesh(cfg: Config):
+    """Mesh for data-parallel training per the ``--mesh`` flag ("" = off,
+    "all" = every device, "N" = first N). Returns None when single-device."""
+    if not cfg.mesh or cfg.mesh in ("none", "0", "1"):
+        return None
+    import jax
+
+    from wsiseg_tpu.parallel.mesh import make_mesh
+    n = jax.device_count() if cfg.mesh == "all" else int(cfg.mesh)
+    if n <= 1:
+        return None
+    return make_mesh(devices=jax.devices()[:n], shape=(n,),
+                     axes=(cfg.mesh_axes[0],))
 
 
 def variables_of(state: TrainState) -> dict:

@@ -13,7 +13,8 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from wsiseg_tpu.cli.common import (make_preprocess, setup_ynet, variables_of)
+from wsiseg_tpu.cli.common import (make_preprocess, setup_ynet, variables_of,
+                                   make_train_mesh)
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data.patches import PatchDataset, cls_weights
 from wsiseg_tpu.train.loop import Trainer
@@ -51,7 +52,7 @@ def train(cfg: Config) -> Trainer:
             res = predict_wsis(cache["engine"], cache["collection"], epoch)
             return {"mean_tb_iou": res.get("_mean_tb_iou", float("nan"))}
 
-    trainer = Trainer(cfg, state, step,
+    trainer = Trainer(cfg, state, step, mesh=make_train_mesh(cfg),
                       make_batches=lambda: ds.batches(drop_remainder=True),
                       preprocess_batch=make_preprocess(cfg),
                       validate_fn=validate_fn)

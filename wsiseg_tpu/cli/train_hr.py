@@ -12,7 +12,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from wsiseg_tpu.cli.common import make_preprocess, setup_hr, variables_of
+from wsiseg_tpu.cli.common import make_preprocess, setup_hr, variables_of, make_train_mesh
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data.patches import normalize_batch_images
 from wsiseg_tpu.data.regions import HRRegionDataset, validate_hr
@@ -56,7 +56,7 @@ def train(cfg: Config, duplicate_dataset: int = 1) -> Trainer:
             out = validate_hr(forward, val, cfg)
             return {"acc": out["acc"]}
 
-    trainer = Trainer(cfg, state, step,
+    trainer = Trainer(cfg, state, step, mesh=make_train_mesh(cfg),
                       make_batches=lambda: ds.batches(),
                       preprocess_batch=make_preprocess(cfg),
                       validate_fn=validate_fn)

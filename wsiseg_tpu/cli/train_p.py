@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wsiseg_tpu.cli.common import make_preprocess, setup_ynet, variables_of
+from wsiseg_tpu.cli.common import make_preprocess, setup_ynet, variables_of, make_train_mesh
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data.patches import PatchDataset, cls_weights
 from wsiseg_tpu.infer.evaluators import predict_cls
@@ -45,7 +45,7 @@ def train(cfg: Config) -> Trainer:
             out = predict_cls(model, variables_of(st), cfg, val.batches())
             return {"acc": out["acc"], "f1": out["f1"]}
 
-    trainer = Trainer(cfg, state, step,
+    trainer = Trainer(cfg, state, step, mesh=make_train_mesh(cfg),
                       make_batches=lambda: ds.batches(drop_remainder=True),
                       preprocess_batch=make_preprocess(cfg),
                       validate_fn=validate_fn)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wsiseg_tpu.cli.common import make_preprocess, setup_ynet, variables_of
+from wsiseg_tpu.cli.common import make_preprocess, setup_ynet, variables_of, make_train_mesh
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data.ssr import SSR_SIZE, SSRSegDataset
 from wsiseg_tpu.models.ynet import YNet
@@ -61,7 +61,7 @@ def train(cfg: Config, with_dice: bool = True) -> Trainer:
                 return {}
             return validate_ssr(model, variables_of(st), cfg, val)
 
-    trainer = Trainer(cfg, state, step,
+    trainer = Trainer(cfg, state, step, mesh=make_train_mesh(cfg),
                       make_batches=lambda: ds.batches(),
                       preprocess_batch=make_preprocess(cfg),
                       validate_fn=validate_fn)

@@ -62,6 +62,10 @@ class Config:
     continue_train: bool = False
     save_models: int = 1
     validate_model: int = 1
+    # Pretrained torch weights grafted at model build: a torchvision-style
+    # encoder state_dict OR a full reference checkpoint (.pt/.pth/.npz).
+    # The reference always trains from ImageNet encoders (train.py:29).
+    pretrained_pth: Optional[str] = None
 
     # ---- source data paths (myargs.py:82-101) ----
     raw_train_pth: str = "data/bach/wsi"
@@ -99,6 +103,9 @@ class Config:
                                          # inference-only throughput)
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
+    # --mesh flag: "" = single device, "all" = every visible device,
+    # "N" = first N devices; enables data-parallel training in all trainers
+    mesh: str = ""
     prefetch_depth: int = 2              # host→device pipeline depth
     infer_batch_size: int = 32           # dense-inference tile batch
     seed: int = 0

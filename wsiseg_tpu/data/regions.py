@@ -68,17 +68,35 @@ def get_key_points(image: np.ndarray, us: int, min_clusters: int,
     if k <= 1 or coords.shape[0] <= 3 * k:
         return None, None, None, None
 
+    # cap the k-means point count: a near-slide-sized region builds (N, K)
+    # one-hot intermediates of GBs on device otherwise (ADVICE.md round-1);
+    # centers from a uniform subsample are statistically equivalent
+    max_points = 16384
+    sampled = coords
+    if len(coords) > max_points:
+        idx = np.random.RandomState(seed).choice(len(coords), max_points,
+                                                 replace=False)
+        sampled = coords[idx]
+
     # pad to power-of-two buckets (min 256) so repeated calls with varying
     # region sizes reuse a handful of compiled kernels instead of one per N
-    bucket = max(256, 1 << (len(coords) - 1).bit_length())
-    pad = bucket - len(coords)
-    wts = np.concatenate([np.ones(len(coords), np.float32),
+    bucket = max(256, 1 << (len(sampled) - 1).bit_length())
+    pad = bucket - len(sampled)
+    wts = np.concatenate([np.ones(len(sampled), np.float32),
                           np.zeros(pad, np.float32)])
-    pcoords = np.concatenate([coords, np.zeros((pad, 2), np.float32)])
+    pcoords = np.concatenate([sampled, np.zeros((pad, 2), np.float32)])
     centers, labels = kmeans(jax.random.PRNGKey(seed), jnp.asarray(pcoords),
                              k, weights=jnp.asarray(wts))
     centers = np.asarray(centers)
-    labels = np.asarray(labels)[:len(coords)]
+    if sampled is coords:
+        labels = np.asarray(labels)[:len(coords)]
+    else:
+        # label every foreground pixel by its nearest center (host, chunked)
+        labels = np.empty(len(coords), np.int64)
+        for i in range(0, len(coords), 1 << 20):
+            ch = coords[i:i + (1 << 20)]
+            d = ((ch[:, None, :] - centers[None]) ** 2).sum(-1)
+            labels[i:i + (1 << 20)] = d.argmin(1)
     cnt_pts = (us * centers).astype(np.int64)
 
     out = np.zeros(small.shape[:2], np.uint16)

@@ -196,6 +196,45 @@ class DenseInferenceEngine:
 
         return jax.lax.fori_loop(0, ny * nx, body, out)
 
+    def _fcn_fast_ok(self) -> bool:
+        """Single-dispatch whole-image FCN path (Pallas stem + functional
+        net, models/infer_fast) applies: seg mode, no scan_resize, Unet +
+        BasicBlock encoder, fast_seg enabled, TPU backend (tests may set
+        ``self.fcn_fast_interpret = True`` to run the Pallas kernel in
+        interpreter mode on CPU)."""
+        from wsiseg_tpu.models.infer_fast import supports_infer_fast
+        on_tpu = jax.devices()[0].platform != "cpu"
+        return ((on_tpu or getattr(self, "fcn_fast_interpret", False))
+                and self.fast_seg and self.mode == "seg"
+                and self.cfg.scan_resize == 1
+                and supports_infer_fast(self.model))
+
+    @staticmethod
+    def _fcn_fast_dims(h: int, w: int) -> Tuple[int, int]:
+        """Pad dims for the whole-image path: H multiple of 16 (stem row
+        blocks), W multiple of 256 (lane-aligned half-width)."""
+        return h + (-h) % 16, w + (-w) % 256
+
+    def _predict_fcn_fast(self, plan: SlidePlan, keep_canvas, keep_probs,
+                          img=None):
+        from wsiseg_tpu.models.infer_fast import segment_whole_image
+
+        cfg = self.cfg
+        t0 = time.time()
+        if img is None:
+            img = np.asarray(plan.slide.read_level(cfg.scan_level))
+        hs, ws = plan.stitch_hw
+        hp, wp = self._fcn_fast_dims(hs, ws)
+        if (hp, wp) != img.shape[:2]:
+            img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
+                         constant_values=255)
+        canvas = segment_whole_image(
+            self.model, self.variables, img, cfg.dataset_mean,
+            cfg.dataset_std,
+            interpret=getattr(self, "fcn_fast_interpret", False))[:hs, :ws]
+        return self._finish(plan, canvas, len(plan.grid), t0,
+                            keep_canvas, keep_probs)
+
     @staticmethod
     def _fcn_geometry(h: int, w: int, chunk, halo: int):
         """Resolve FCN chunking. ``chunk=None`` → one rectangular chunk
@@ -333,10 +372,17 @@ class DenseInferenceEngine:
     def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False) -> SlideResult:
-        """ScanNet-style FCN mode: halo-padded chunks, each output pixel
-        computed once (~(tile/stride)² fewer FLOPs than grid mode at the
-        default 512/128 geometry). Throughput is still reported in
-        grid-equivalent patches/sec for comparability."""
+        """ScanNet-style FCN mode: each output pixel computed once
+        (~(tile/stride)² fewer FLOPs than grid mode at the default 512/128
+        geometry). Throughput is still reported in grid-equivalent
+        patches/sec for comparability.
+
+        ``chunk=None`` (default) with a Unet/BasicBlock model runs the
+        whole image as ONE fused dispatch (Pallas stem + functional net);
+        an int ``chunk`` uses halo-padded chunk tiling through the flax
+        path."""
+        if chunk is None and self._fcn_fast_ok():
+            return self._predict_fcn_fast(plan, keep_canvas, keep_probs)
         cfg = self.cfg
         t0 = time.time()
         img = plan.slide.read_level(cfg.scan_level)
@@ -589,7 +635,24 @@ class DenseInferenceEngine:
         img = np.asarray(plan.slide.read_level(cfg.scan_level))
         mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
 
-        if mode == "fcn":
+        if mode == "fcn" and chunk is None and self._fcn_fast_ok():
+            from wsiseg_tpu.models.infer_fast import (_segment_packed,
+                                                      pack_for_stem)
+            hp, wp = self._fcn_fast_dims(hs, ws)
+            if (hp, wp) != img.shape[:2]:
+                img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
+                             constant_values=255)
+            packed = jnp.asarray(pack_for_stem(img, cfg.dataset_mean))
+
+            def run():
+                cv = _segment_packed(
+                    self.variables, packed, tuple(cfg.dataset_mean),
+                    tuple(cfg.dataset_std), arch=self.model.arch,
+                    h=hp, w=wp,
+                    interpret=getattr(self, "fcn_fast_interpret",
+                                      False))[:hs, :ws]
+                return self._post(cv, mask, out_hw=(h2, w2))
+        elif mode == "fcn":
             h, w = img.shape[:2]
             ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
             img_pad = jnp.asarray(np.pad(

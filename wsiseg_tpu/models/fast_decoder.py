@@ -129,23 +129,10 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
-def unet_segment_fast(model, variables, x, dtype=None):
-    """Y-Net encoder + U-Net decoder forward with the s2d tail.
-
-    Numerically equivalent to ``model.apply(variables, x,
-    method=YNet.segment)`` up to fp reassociation. Unet decoder only.
-    """
-    from wsiseg_tpu.models.ynet import YNet
-
-    dtype = dtype or model.dtype
-    # NOTE: an s2d-stem functional encoder exists (models/fast_encoder) but
-    # measured SLOWER on v5e (stem 51→88 ms standalone: the s2d input
-    # relayout dominates at Cin=3) — the flax encoder stays.
-    feats = model.apply(variables, x, method=YNet.encode)
-
+def decode_fast(variables, feats, dtype):
+    """U-Net decoder forward with the s2d tail, from an encoder pyramid."""
     dp = variables["params"]["decoder"]
     db = variables["batch_stats"]["decoder"]
-    channels = (256, 128, 64, 32, 16)
 
     xx = feats[0].astype(dtype)
     skips = list(feats[1:]) + [None]
@@ -178,3 +165,21 @@ def unet_segment_fast(model, variables, x, dtype=None):
     kh = s2d_kernel(head["kernel"]).astype(dtype)
     y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
     return depth_to_space(y).astype(jnp.float32)
+
+
+def unet_segment_fast(model, variables, x, dtype=None):
+    """Y-Net encoder + U-Net decoder forward with the s2d tail.
+
+    Numerically equivalent to ``model.apply(variables, x,
+    method=YNet.segment)`` up to fp reassociation. Unet decoder only.
+    """
+    from wsiseg_tpu.models.ynet import YNet
+
+    dtype = dtype or model.dtype
+    # NOTE: an s2d-stem functional encoder exists (models/fast_encoder) but
+    # measured SLOWER on v5e (stem 51→88 ms standalone: the s2d input
+    # relayout dominates at Cin=3) — the flax encoder stays. The PALLAS
+    # stem (ops/pallas_stem) beats both; the whole-image inference path
+    # models/infer_fast uses it.
+    feats = model.apply(variables, x, method=YNet.encode)
+    return decode_fast(variables, feats, dtype)

@@ -73,21 +73,9 @@ def supports_fast_encode(model) -> bool:
     return block_cls is BasicBlock
 
 
-def resnet_encode_fast(model, variables, x, dtype=None):
-    """Functional inference forward of the ResNet encoder with the s2d
-    stem. Returns the deepest-first pyramid [c5, c4, c3, c2, c1] like
-    ``YNet.encode``. BasicBlock archs only; even input dims required."""
-    dtype = dtype or model.dtype
-    ep = variables["params"]["encoder"]
-    eb = variables["batch_stats"]["encoder"]
-    _, stages = ENCODER_SPECS[model.arch]
-
-    # stem: s2d(2) + 4x4 stride-1 conv at half resolution
-    xs = space_to_depth(x.astype(dtype))
-    k = s2d_stem_kernel(ep["stem_conv"]["kernel"]).astype(dtype)
-    y = _conv(xs, k, padding=((2, 1), (2, 1)))
-    c1 = _bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
-
+def encode_stages(ep, eb, c1, stages, dtype):
+    """Functional inference forward of the four ResNet stages, starting
+    from the stem output ``c1``. Returns [c5, c4, c3, c2, c1]."""
     xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
     feats = []
@@ -111,3 +99,21 @@ def resnet_encode_fast(model, variables, x, dtype=None):
 
     c2, c3, c4, c5 = feats
     return [c5, c4, c3, c2, c1]
+
+
+def resnet_encode_fast(model, variables, x, dtype=None):
+    """Functional inference forward of the ResNet encoder with the s2d
+    stem. Returns the deepest-first pyramid [c5, c4, c3, c2, c1] like
+    ``YNet.encode``. BasicBlock archs only; even input dims required."""
+    dtype = dtype or model.dtype
+    ep = variables["params"]["encoder"]
+    eb = variables["batch_stats"]["encoder"]
+    _, stages = ENCODER_SPECS[model.arch]
+
+    # stem: s2d(2) + 4x4 stride-1 conv at half resolution
+    xs = space_to_depth(x.astype(dtype))
+    k = s2d_stem_kernel(ep["stem_conv"]["kernel"]).astype(dtype)
+    y = _conv(xs, k, padding=((2, 1), (2, 1)))
+    c1 = _bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
+
+    return encode_stages(ep, eb, c1, stages, dtype)

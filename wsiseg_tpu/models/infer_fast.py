@@ -1,0 +1,91 @@
+"""Whole-image dense-inference forward: Pallas stem + functional Y-Net.
+
+The FCN fast path for single-chunk slides (the default engine geometry,
+``DenseInferenceEngine.predict_slide_fcn(chunk=None)``): the uint8 level
+image is packed host-side for the fused Pallas stem
+(:mod:`wsiseg_tpu.ops.pallas_stem` — normalize+7×7/2 conv+BN+ReLU at ~2.7×
+XLA's conv lowering), then the remaining encoder stages and the s2d-tail
+decoder run as one functional jit from the SAME trained variables.
+
+Numerics: the stem's implicit padding uses the per-channel uint8 value
+closest to normalized zero (≈ 255·mean), matching the flax path's
+zero-padding in normalized space to <0.5/255/std — differences vs
+``YNet.segment`` are confined to fp noise plus a sub-quantization pad
+residual at the outermost border (the engine's ≥128 px slide halo is
+cropped away anyway).
+
+Capability twin of reference utils/eval.py:196-200 (encoder→decoder dense
+eval); BasicBlock encoders (resnet18/34) + Unet decoder only — others fall
+back to the flax path in the engine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsiseg_tpu.models.fast_decoder import decode_fast
+from wsiseg_tpu.models.fast_encoder import encode_stages
+from wsiseg_tpu.models.resnet import ENCODER_SPECS, BasicBlock
+from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights, stem_conv,
+                                        stem_geometry)
+
+
+def supports_infer_fast(model) -> bool:
+    block_cls, _ = ENCODER_SPECS[model.arch]
+    return block_cls is BasicBlock and model.decoder == "Unet"
+
+
+def pack_for_stem(img_u8: np.ndarray, mean) -> np.ndarray:
+    """Host-side packing of an (H, W, 3) uint8 image (H, W even) into the
+    Pallas-stem layout (Hin, 6, Wc) — cell elements on the middle axis,
+    cells on the minor axis — adding the stem's 3-px support ring with the
+    normalized-zero pad value (≈255·mean per channel). The kernel wants
+    8 sublanes; the 6→8 pad happens on device (33% fewer relay bytes)."""
+    h, w = img_u8.shape[:2]
+    hin, wc, _ = stem_geometry(h // 2, w // 2)
+    pad_rgb = np.clip(np.round(255.0 * np.asarray(mean)), 0,
+                      255).astype(np.uint8)
+    win = 2 * wc
+    out = np.empty((hin, win, 3), np.uint8)
+    out[:] = pad_rgb
+    out[3:3 + min(h, hin - 3), 3:3 + min(w, win - 3)] = \
+        img_u8[:hin - 3, :win - 3]
+    return np.ascontiguousarray(out.reshape(hin, wc, 6).transpose(0, 2, 1))
+
+
+@partial(jax.jit, static_argnames=("arch", "h", "w", "interpret"))
+def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
+                    *, arch: str, h: int, w: int,
+                    interpret: bool = False):
+    ep = variables["params"]["encoder"]
+    eb = variables["batch_stats"]["encoder"]
+    _, stages = ENCODER_SPECS[arch]
+
+    if img_packed.shape[1] == 6:
+        img_packed = jnp.pad(img_packed, ((0, 0), (0, 2), (0, 0)))
+
+    w147, bias = fold_stem_weights(
+        ep["stem_conv"]["kernel"], ep["stem_bn"]["scale"],
+        ep["stem_bn"]["bias"], eb["stem_bn"]["mean"], eb["stem_bn"]["var"],
+        dataset_mean, dataset_std)
+    c1 = stem_conv(img_packed, w147, bias, h // 2, w // 2,
+                   interpret=interpret)[: h // 2][None]  # (1, H/2, W/2, 64)
+
+    feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
+    return decode_fast(variables, feats, jnp.bfloat16)[0]
+
+
+def segment_whole_image(model, variables, img_u8: np.ndarray,
+                        dataset_mean, dataset_std,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Dense segmentation logits for one (H, W, 3) uint8 image (H, W even,
+    W/2 lane-aligned). Returns (H, W, num_classes) float32 on device."""
+    h, w = img_u8.shape[:2]
+    packed = pack_for_stem(np.asarray(img_u8), dataset_mean)
+    return _segment_packed(variables, jnp.asarray(packed),
+                           tuple(dataset_mean), tuple(dataset_std),
+                           arch=model.arch, h=h, w=w, interpret=interpret)

@@ -86,6 +86,116 @@ def convert_resnet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+_DEC_RE = re.compile(
+    r"^decoder\.blocks\.(\d+)\.conv(\d)\.([01])\.(.+)$")
+
+
+def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
+    """Convert a FULL reference-model state_dict (smp Unet + monkey-patched
+    heads, the contents of a reference ``torch.save`` checkpoint,
+    train.py:111-118) into YNet variables.
+
+    Naming handled:
+      encoder.*                        → torchvision ResNet (see above)
+      decoder.blocks.{i}.conv{k}.0.*   → decoder/block{i}/conv{k} (conv)
+      decoder.blocks.{i}.conv{k}.1.*   → decoder/block{i}/bn{k} (BN)
+      segmentation_head.0.*            → decoder/seg_head
+      classifier.fc.0.*                → classifier/fc
+      regressor.fc.{0,2}.*             → regressor/fc{1,2}
+    Unrecognized keys are skipped (the reference's own partial-load
+    semantics, resnets_shift.py:230-240).
+    """
+    enc = convert_resnet_state_dict(
+        {k[len("encoder."):]: v for k, v in sd.items()
+         if k.startswith("encoder.")})
+    params: Dict = {"encoder": enc["params"]} if enc["params"] else {}
+    stats: Dict = {"encoder": enc["batch_stats"]} if enc["batch_stats"] else {}
+
+    def put_bn(module, leaf, v):
+        if leaf == "weight":
+            _set(params, module + ("scale",), v)
+        elif leaf == "bias":
+            _set(params, module + ("bias",), v)
+        elif leaf == "running_mean":
+            _set(stats, module + ("mean",), v)
+        elif leaf == "running_var":
+            _set(stats, module + ("var",), v)
+
+    for key, v in sd.items():
+        m = _DEC_RE.match(key)
+        if m is not None:
+            i, k, sub, leaf = m.groups()
+            block = ("decoder", f"block{i}")
+            if sub == "0" and leaf == "weight":
+                _set(params, block + (f"conv{k}", "kernel"), _conv_kernel(v))
+            elif sub == "1":
+                put_bn(block + (f"bn{k}",), leaf, v)
+        elif key == "segmentation_head.0.weight":
+            _set(params, ("decoder", "seg_head", "kernel"), _conv_kernel(v))
+        elif key == "segmentation_head.0.bias":
+            _set(params, ("decoder", "seg_head", "bias"), v)
+        elif key == "classifier.fc.0.weight":
+            _set(params, ("classifier", "fc", "kernel"),
+                 np.transpose(np.asarray(v)))
+        elif key == "classifier.fc.0.bias":
+            _set(params, ("classifier", "fc", "bias"), v)
+        elif key == "regressor.fc.0.weight":
+            _set(params, ("regressor", "fc1", "kernel"),
+                 np.transpose(np.asarray(v)))
+        elif key == "regressor.fc.0.bias":
+            _set(params, ("regressor", "fc1", "bias"), v)
+        elif key == "regressor.fc.2.weight":
+            _set(params, ("regressor", "fc2", "kernel"),
+                 np.transpose(np.asarray(v)))
+        elif key == "regressor.fc.2.bias":
+            _set(params, ("regressor", "fc2", "bias"), v)
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_pretrained(path: str) -> Dict[str, np.ndarray]:
+    """Load a state_dict-like mapping of numpy arrays from a torch ``.pt``/
+    ``.pth`` file (requires torch, CPU) or an ``.npz``. Unwraps reference
+    checkpoints ({'state_dict': ...}) and strips ``module.`` prefixes."""
+    if path.endswith(".npz"):
+        raw = dict(np.load(path))
+    else:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        raw = {k: v.detach().cpu().numpy() for k, v in obj.items()
+               if hasattr(v, "detach")}
+    out = {}
+    for k, v in raw.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v)
+    return out
+
+
+def apply_pretrained(variables: Dict, path: str,
+                     encoder_name: str = "encoder") -> Dict:
+    """Graft pretrained torch weights from ``path`` into model variables.
+
+    The reference ALWAYS trains from ImageNet-initialized encoders
+    (train.py:29 ``smp.Unet('resnet18', 'imagenet')``; resnets_shift.py:
+    230-240 partial state_dict load) — this is the equivalent entry point,
+    reached from every trainer via ``cfg.pretrained_pth``.
+
+    Dispatch: keys starting with ``encoder.``/``decoder.`` → full-model
+    convert (reference checkpoint); plain torchvision naming (conv1.*,
+    layer*) → encoder-only graft into ``encoder_name``. Missing keys keep
+    their random init (partial-load semantics)."""
+    sd = load_pretrained(path)
+    if any(k.startswith(("encoder.", "decoder.", "segmentation_head."))
+           for k in sd):
+        converted = convert_ynet_state_dict(sd)
+        return graft_encoder(variables, converted, encoder_name="")
+    converted = convert_resnet_state_dict(sd)
+    return graft_encoder(variables, converted, encoder_name=encoder_name)
+
+
 def graft_encoder(variables: Dict, converted: Dict,
                   encoder_name: str = "encoder") -> Dict:
     """Replace the encoder subtree of a larger model's variables (e.g. YNet)

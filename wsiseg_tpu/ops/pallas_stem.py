@@ -9,23 +9,26 @@ reformulation at the XLA level pays an input relayout that dominates
 
 The fix is a Pallas kernel that performs the im2col *in VMEM*:
 
-* the (padded) image is passed as (Hin, Wc, 6) uint8 — pixel pairs packed
-  on the minor axis (a free host-side reshape), so an output pixel's 21
-  row-taps (7 kx × 3 channels) sit in 4 consecutive sublanes;
-* per output row, 7 input rows are expanded to a (Wout, 147) patch matrix
-  with static sublane slices (no gather, no HBM relayout);
-* one (Wout, 147) @ (147, 64) MXU matmul per row — contraction dim 147
-  vs the logical 3 — with normalization folded into the weights
-  (u8·s + t; the conv is linear) and BatchNorm+ReLU fused on the output.
+* the (padded) image is passed as (Hin, 6, Wc) uint8 — each row stores its
+  pixel-pairs transposed (element-of-cell on sublanes, cell index on
+  lanes), a one-pass host repack, so the lane dim is ~W (no 128-lane
+  padding waste) and the 21 row-taps of an output pixel are 21 sublanes;
+* per output row, 7 input rows are written into a (147, Wc) patch scratch
+  as 28 lane-rotated sublane groups (writing through a ref materializes
+  the rotation — lane-offset concats are not supported by Mosaic);
+* one (147, Wc)ᵀ-contraction MXU matmul per row against the folded
+  (147, 64) weights — contraction dim 147 vs the logical 3 — with
+  normalization folded into the weights (u8·s + t; the conv is linear)
+  and BatchNorm+ReLU fused on the output.
 
 Numerics: exact up to fp reassociation PROVIDED the caller pre-pads the
 image with the background value 255 (the dense engine's FCN path already
 carries a ≥128-px halo of 255s, so the 3-px stem support is interior).
 
 Geometry contract (see :func:`stem_geometry`):
-  input   (Hin, Wc, 6) uint8, Hin = 2·Hout + 5 + pad_to_block,
+  input   (Hin, 6, Wc) uint8, Hin = 2·(Hout rounded up to 8) + 5,
           Wc = Wout + 3  (i.e. Win = 2·Wout + 6)
-  output  (Hout, Wout, 64) bfloat16, out[y, x] ← window at (2y, 2x)
+  output  (Hout_pad, Wout, 64) bfloat16, out[y, x] ← window at (2y, 2x)
 """
 
 from __future__ import annotations
@@ -65,15 +68,15 @@ def fold_stem_weights(kernel, bn_scale, bn_bias, bn_mean, bn_var,
 
 
 def stem_geometry(h_out: int, w_out: int):
-    """Input dims required for an (h_out, w_out) output (before rounding
-    h_out up to the row-block multiple)."""
-    h_pad = -h_out % _BR
-    hin = 2 * (h_out + h_pad) + 5
+    """(Hin, Wc, padded Hout) for an (h_out, w_out) output. Wc (the cell /
+    lane dim) is 128-aligned — Mosaic requires lane-aligned ref shapes."""
+    h_pad = h_out + (-h_out % _BR)
     wc = w_out + 3
-    return hin, wc, h_out + h_pad
+    wc += -wc % 128
+    return 2 * h_pad + 5, wc, h_pad
 
 
-def _stem_kernel(img_hbm, w_ref, b_ref, out_ref, scratch, sem):
+def _stem_kernel(img_hbm, w_ref, b_ref, out_ref, scratch, patches, sem):
     i = pl.program_id(0)
     rows = 2 * _BR + 5
     dma = pltpu.make_async_copy(
@@ -81,21 +84,24 @@ def _stem_kernel(img_hbm, w_ref, b_ref, out_ref, scratch, sem):
     dma.start()
     dma.wait()
 
-    w = w_ref[:].astype(jnp.bfloat16)            # (147, 64)
+    w = w_ref[:].astype(jnp.bfloat16)            # (224, 64)
     bias = b_ref[:]                              # (1, 64)
     wout = out_ref.shape[1]
+    wc = scratch.shape[2]
 
     for y in range(_BR):
-        parts = []
+        # patches[32·ky + 8·s + e, x] = img[2y+ky, e, x+s]; all sublane
+        # groups are 8-aligned (Mosaic rejects 6-row slices of 8-tiled refs)
         for ky in range(7):
-            r = scratch[2 * y + ky].astype(jnp.bfloat16)   # (Wc, 6)
-            # P[x, 3kx+c] = row[6x + 3kx + c]: 4 shifted sublane slices
-            p = jnp.concatenate(
-                [r[0:wout], r[1:wout + 1], r[2:wout + 2], r[3:wout + 3]],
-                axis=1)[:, :21]
-            parts.append(p)
-        x = jnp.concatenate(parts, axis=1)       # (Wout, 147)
-        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            r = scratch[2 * y + ky].astype(jnp.int32)    # (8, Wc)
+            patches[pl.ds(32 * ky, 8), :] = r.astype(jnp.bfloat16)
+            for s_ in (1, 2, 3):
+                rolled = pltpu.roll(r, wc - s_, 1).astype(jnp.bfloat16)
+                patches[pl.ds(32 * ky + 8 * s_, 8), :] = rolled
+        x = patches[:, 0:wout]                   # (224, Wout) lane-aligned
+        acc = jax.lax.dot_general(
+            x, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Wout, 64)
         out_ref[y] = jnp.maximum(acc + bias, 0.0).astype(jnp.bfloat16)
 
 
@@ -104,20 +110,34 @@ def stem_conv(img6: jnp.ndarray, w147: jnp.ndarray, bias: jnp.ndarray,
               h_out: int, w_out: int, interpret: bool = False):
     """Fused stem forward.
 
-    img6: (Hin, Wc, 6) uint8 per :func:`stem_geometry` (Hin rows ≥
-    2·ceil(h_out/BR)·BR + 5; extra rows ignored).
+    img6: (Hin, 6, Wc) uint8 per :func:`stem_geometry` / :func:`pack_image`.
     Returns (h_out_padded, w_out, 64) bfloat16 — caller slices [:h_out].
     """
     hin, wc, h_pad = stem_geometry(h_out, w_out)
-    assert img6.shape[0] >= hin and img6.shape[1] >= w_out + 3, (
+    assert img6.shape[0] >= hin and img6.shape[2] >= wc, (
         img6.shape, (hin, wc))
+    assert img6.shape[1] == 8, "pack to 8 sublanes (pad rows 6..7 zero)"
+    assert w_out % 128 == 0, "w_out must be lane-aligned (multiple of 128)"
     n_blocks = h_pad // _BR
+
+    # (147, 64) → (224, 64): row 32·ky + 8·s + e ← w147[21·ky + 6·s + e]
+    # where valid (e < 6 and 6s+e < 21); zeros match pad rows / extra taps
+    w224 = jnp.zeros((224, 64), jnp.float32)
+    src_rows, dst_rows = [], []
+    for ky in range(7):
+        for s_ in range(4):
+            for e in range(6):
+                if 6 * s_ + e < 21:
+                    dst_rows.append(32 * ky + 8 * s_ + e)
+                    src_rows.append(21 * ky + 6 * s_ + e)
+    w224 = w224.at[np.asarray(dst_rows)].set(
+        w147.astype(jnp.float32)[np.asarray(src_rows)])
 
     out = pl.pallas_call(
         _stem_kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # img: manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),       # img: manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w147
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bias
         ],
@@ -125,21 +145,25 @@ def stem_conv(img6: jnp.ndarray, w147: jnp.ndarray, bias: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w_out, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2 * _BR + 5, img6.shape[1], 6), jnp.uint8),
+            pltpu.VMEM((2 * _BR + 5, 8, img6.shape[2]), jnp.uint8),
+            pltpu.VMEM((224, img6.shape[2]), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(img6, w147.astype(jnp.float32), bias.astype(jnp.float32))
+    )(img6, w224, bias.astype(jnp.float32))
     return out
 
 
 def pack_image(img_u8: np.ndarray, h_out: int, w_out: int) -> np.ndarray:
     """Host-side packing: (H, W, 3) uint8 (top-left aligned with the
     255-padded window start, i.e. img[0,0] is logical pixel (-3, -3) of the
-    stem input) → (Hin, Wc, 6) with white padding to the geometry dims."""
+    stem input) → (Hin, 8, Wc): cell elements transposed onto sublanes
+    (padded 6→8 — Mosaic slices need 8-row alignment), cells on lanes."""
     hin, wc, _ = stem_geometry(h_out, w_out)
     win = 2 * wc
     h, w = img_u8.shape[:2]
     out = np.full((hin, win, 3), 255, np.uint8)
     out[:min(h, hin), :min(w, win)] = img_u8[:hin, :win]
-    return out.reshape(hin, wc, 6)
+    packed = np.zeros((hin, 8, wc), np.uint8)
+    packed[:, :6] = out.reshape(hin, wc, 6).transpose(0, 2, 1)
+    return packed

@@ -86,8 +86,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             slide_id = int(os.path.splitext(os.path.basename(svs))[0])
         except ValueError:
             continue
-        hms = glob.glob(f"{ns.val_save_pth}/**/*{slide_id}*heatmap*",
-                        recursive=True)
+        from wsiseg_tpu.utils.filesystem import find_heatmaps
+        hms = find_heatmaps(ns.val_save_pth, slide_id)
         if hms:
             pairs.append((slide_id, hms[0]))
 

@@ -87,8 +87,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if not svs_path:
         raise SystemExit(f"slide {ns.image_id} not found under {ns.raw_val_pth}")
 
-    heatmaps = glob.glob(f"{ns.val_save_pth}/**/*{ns.image_id}*heatmap*",
-                         recursive=True)
+    from wsiseg_tpu.utils.filesystem import find_heatmaps
+    heatmaps = find_heatmaps(ns.val_save_pth, ns.image_id)
     if not heatmaps:
         raise SystemExit(f"no heatmap for {ns.image_id} under {ns.val_save_pth}")
     print(run(svs_path, heatmaps[0], ns.out_dir))

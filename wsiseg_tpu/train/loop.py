@@ -23,7 +23,8 @@ class Trainer:
                  make_batches: Callable[[], Iterable[Dict]],
                  preprocess_batch: Optional[Callable] = None,
                  validate_fn: Optional[Callable] = None,
-                 log_fn: Callable[[str], None] = print):
+                 log_fn: Callable[[str], None] = print,
+                 mesh=None):
         """
         Args:
           step_fn: (state, batch, rng) -> (state, metrics) — already jitted.
@@ -33,6 +34,12 @@ class Trainer:
             fn(batch, rng, train=True) INSIDE the host loop but typically
             jitted itself.
           validate_fn: fn(state, epoch) -> dict of metrics.
+          mesh: optional jax.sharding.Mesh — data-parallel training: the
+            state is replicated, every batch's leading axis is sharded over
+            the mesh's first axis, and GSPMD inserts the ICI collectives
+            (gradient all-reduce, global BatchNorm statistics). Identical
+            math to single-device at equal global batch (the reference has
+            no multi-device path at all, SURVEY.md §2.c).
         """
         self.cfg = cfg
         self.state = state
@@ -41,6 +48,7 @@ class Trainer:
         self.preprocess_batch = preprocess_batch
         self.validate_fn = validate_fn
         self.log = log_fn
+        self.mesh = mesh
         self.history: list[dict] = []
 
     def run(self, start_epoch: Optional[int] = None,
@@ -51,13 +59,28 @@ class Trainer:
                        else cfg.num_epoch - start + 1)
         rng = jax.random.PRNGKey(cfg.seed)
 
+        batch_sh = None
+        if self.mesh is not None:
+            from wsiseg_tpu.parallel.mesh import (batch_sharding,
+                                                  replicate_tree)
+            n_dev = self.mesh.devices.size
+            if cfg.batch_size % n_dev:
+                raise ValueError(
+                    f"global batch_size {cfg.batch_size} must divide evenly "
+                    f"over {n_dev} mesh devices")
+            self.state = replicate_tree(self.mesh, self.state)
+            batch_sh = batch_sharding(self.mesh, self.mesh.axis_names[0])
+            self.log(f"data-parallel training over {n_dev} devices "
+                     f"({cfg.batch_size // n_dev} per device)")
+
         for epoch in range(start, end):
             t0 = time.time()
             sums: Dict[str, float] = {}
             count = 0
             n_samples = 0
             for batch in prefetch_to_device(iter(self.make_batches()),
-                                            depth=cfg.prefetch_depth):
+                                            depth=cfg.prefetch_depth,
+                                            device=batch_sh):
                 rng, sub, pp = jax.random.split(rng, 3)
                 if self.preprocess_batch is not None:
                     batch = self.preprocess_batch(batch, pp)

@@ -24,6 +24,27 @@ def fetch_metadata(pth: str) -> dict:
     return {}
 
 
+def find_heatmaps(save_pth: str, slide_id) -> list[str]:
+    """Heatmap artifacts for ONE slide under a val_save_pth tree.
+
+    The engine writes ``<slide>_<stride>_heatmap.png`` (reference
+    utils/eval.py:227-229). Matches are anchored on the full slide-id token
+    (basename starts with ``<id>.`` or ``<id>_``) — a bare ``*{id}*``
+    substring glob (the reference's pattern, inherited in round 1) pairs
+    slide 1 with slide 10/21/100's heatmaps and corrupts the screening
+    metrics (ADVICE.md round-1)."""
+    import glob
+
+    sid = str(slide_id)
+    out = []
+    for p in sorted(glob.glob(os.path.join(save_pth, "**", "*heatmap*"),
+                              recursive=True)):
+        base = os.path.basename(p)
+        if base.startswith(sid + ".") or base.startswith(sid + "_"):
+            out.append(p)
+    return out
+
+
 def fix_path(pth: str, anchor: str | None = None) -> str:
     """Resolve ``pth`` relative to an anchor directory (default: repo root).
 
