@@ -40,3 +40,34 @@ def test_segment_fast_parity(rng):
     fast = jax.jit(lambda v, a: unet_segment_fast(model, v, a))(variables, x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_upfold_kernel_exact(rng):
+    """conv3x3(up2x(x)) == d2s(conv_s2d(x, upfold_kernel(w))): the upsample
+    folds into the kernel with the input staying at cell resolution."""
+    from wsiseg_tpu.models.fast_decoder import upfold_kernel, upsample2x
+    x = jnp.asarray(rng.randn(1, 8, 10, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    std = jax.lax.conv_general_dilated(
+        upsample2x(x), w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = depth_to_space(jax.lax.conv_general_dilated(
+        x, upfold_kernel(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(np.asarray(std), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_decode_fold_parity(rng):
+    """Fused Pallas chain decode (decode_fold) matches decode_fast on a
+    full Y-Net pyramid (interpret mode on CPU)."""
+    from wsiseg_tpu.models.fast_decoder import decode_fast, decode_fold
+    cfg = default_config(tile_w=64, tile_h=96, compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.randn(1, 96, 64, 3).astype(np.float32))
+    feats = model.apply(variables, x, method=YNet.encode)
+    ref = decode_fast(variables, feats, jnp.float32)
+    got = decode_fold(variables, feats, jnp.float32, br=8, wc=16,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=2e-3, rtol=2e-3)

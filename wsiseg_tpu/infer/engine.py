@@ -44,7 +44,7 @@ from wsiseg_tpu.ops.hull import convex_hull_image
 from wsiseg_tpu.ops.morphology import bwperim, dilate, opening
 from wsiseg_tpu.ops.stitch import gather_tiles, scatter_add_tiles, \
     scatter_add_scalar_tiles
-from wsiseg_tpu.ops.threshold import threshold_probs
+from wsiseg_tpu.ops.threshold import threshold_probs_planar
 
 
 @dataclass
@@ -211,9 +211,11 @@ class DenseInferenceEngine:
 
     @staticmethod
     def _fcn_fast_dims(h: int, w: int) -> Tuple[int, int]:
-        """Pad dims for the whole-image path: H multiple of 16 (stem row
-        blocks), W multiple of 256 (lane-aligned half-width)."""
-        return h + (-h) % 16, w + (-w) % 256
+        """Pad dims for the whole-image path: H multiple of 32 (stem row
+        blocks + even dims at every pyramid stage, which the fused fold
+        decoder and the skip concats require), W multiple of 256
+        (lane-aligned half-width)."""
+        return h + (-h) % 32, w + (-w) % 256
 
     def _predict_fcn_fast(self, plan: SlidePlan, keep_canvas, keep_probs,
                           img=None):
@@ -251,19 +253,25 @@ class DenseInferenceEngine:
         return ch, cw, -(-h // ch), -(-w // cw)
 
     def _postprocess(self, canvas, mask_u8, *, out_hw: Optional[Tuple[int, int]] = None):
+        # planar (C, H, W) layout: C=4 on the lane dim starves the VPU
+        # (ops/threshold.threshold_probs_planar docstring; measured 10 ms
+        # vs ~1 ms for a 3072×4096 canvas)
         if out_hw is not None and canvas.shape[:2] != out_hw:
             # stitching happened at scan_level != 2: downsample the logit
             # canvas to level-2 dims (reference utils/eval.py:67-71 does
             # this per class with cv2.resize before thresholding)
-            canvas = jax.image.resize(
-                canvas, (*out_hw, canvas.shape[-1]), "linear")
-        labels, probs = threshold_probs(canvas, self.cfg.class_probs)
+            cp = jnp.transpose(canvas, (2, 0, 1))
+            cp = jax.image.resize(cp, (cp.shape[0], *out_hw), "linear")
+            canvas = jnp.transpose(cp, (1, 2, 0))
+        labels, probs_p = threshold_probs_planar(canvas,
+                                                 self.cfg.class_probs)
         if self.mode == "cls":
-            heat = probs[..., 1]
+            heat = probs_p[1]
         else:
             # P(DCIS) + P(invasive), tissue-masked (utils/eval.py:223-225)
-            heat = probs[..., 2] + probs[..., 3]
+            heat = probs_p[2] + probs_p[3]
         heat = heat * (mask_u8 > 0)
+        probs = jnp.transpose(probs_p, (1, 2, 0))
         # quantize on device: the heatmap artifact is a u8 PNG anyway
         # (utils/eval.py:227-229) and u8 is 4x less D2H traffic
         heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0, 255).astype(jnp.uint8)

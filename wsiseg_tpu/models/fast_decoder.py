@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wsiseg_tpu.ops.conv9 import conv_chain
+
 
 def s2d_kernel_f(w, f: int):
     """(3, 3, Cin, Cout) → (3, 3, f²·Cin, f²·Cout) exact s2d(f)-domain
@@ -82,6 +84,21 @@ def s2d_kernel(w):
     """(3, 3, Cin, Cout) → (3, 3, 4·Cin, 4·Cout): :func:`s2d_kernel_f` at
     f = 2 (kept for compatibility with round-1 call sites/tests)."""
     return s2d_kernel_f(w, 2)
+
+
+def upfold_kernel(w):
+    """(3, 3, Cin, Cout) → (3, 3, Cin, 4·Cout): s2d(2)-domain kernel for
+    ``conv(upsample2x(x))`` with the upsample folded away.
+
+    ``s2d(upsample2x(x))`` repeats x on all four input sub-positions, so
+    the four input-position blocks of :func:`s2d_kernel` collapse into one
+    Cin-wide block by summation — the conv then reads x at CELL resolution
+    directly (no 4× channel tile, 4× less input traffic). Exact transform
+    of the reference decoder's nearest-up + 3×3 conv (smp Unet decoder
+    block, train.py:29)."""
+    route = _s2d_route(2).sum(axis=4)      # sum over input sub-positions
+    out = jnp.einsum("yxuvo,yxcm->uvcom", jnp.asarray(route, w.dtype), w)
+    return out.reshape(3, 3, w.shape[2], 4 * w.shape[3])
 
 
 def space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
@@ -165,6 +182,78 @@ def decode_fast(variables, feats, dtype):
     kh = s2d_kernel(head["kernel"]).astype(dtype)
     y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
     return depth_to_space(y).astype(jnp.float32)
+
+
+def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
+                interpret: bool = False):
+    """U-Net decoder forward with blocks 2–4 + head as fused Pallas
+    conv-chain kernels in the s2d(2) domain (:func:`wsiseg_tpu.ops.conv9.
+    conv_chain`): per block ONE input-window DMA, both convs (three for
+    block4+head) VMEM-resident, one output write.
+
+    Numerically equivalent to :func:`decode_fast` up to fp reassociation
+    (bf16 intermediates, f32 accumulation in both). Batch-1 only (the
+    whole-slide FCN path); requires stage dims even (input dims divisible
+    by 32). Reference twin: utils/eval.py:196-200 decoder dense eval.
+    """
+    dp = variables["params"]["decoder"]
+    db = variables["batch_stats"]["decoder"]
+    assert feats[0].shape[0] == 1, "decode_fold is batch-1 (FCN) only"
+
+    xx = feats[0].astype(dtype)
+    skips = list(feats[1:]) + [None]
+
+    # blocks 0, 1: deep stages, standard XLA lowering is fine there
+    for i in (0, 1):
+        blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
+        xx = upsample2x(xx)
+        if skips[i] is not None:
+            xx = jnp.concatenate([xx, skips[i].astype(dtype)], axis=-1)
+        for cj in (1, 2):
+            y = _conv(xx, blk_p[f"conv{cj}"]["kernel"].astype(dtype))
+            s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
+            xx = jax.nn.relu(y * s + t).astype(dtype)
+
+    def _affine(blk_p, blk_b, cj):
+        s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
+        return _tile4(s), _tile4(t)
+
+    # blocks 2, 3: fused pairs at cell resolution; the 2× upsample is
+    # folded into conv1 (upfold) and the skip enters via its s2d kernel
+    x = xx[0]                                  # (H/8, W/8, 128) native
+    for i in (2, 3):
+        blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
+        skip = skips[i][0].astype(dtype)       # full-res skip
+        cup = x.shape[-1]
+        w1 = blk_p["conv1"]["kernel"]
+        k1 = jnp.concatenate([upfold_kernel(w1[:, :, :cup]),
+                              s2d_kernel(w1[:, :, cup:])], axis=2)
+        s1, t1 = _affine(blk_p, blk_b, 1)
+        k2 = s2d_kernel(blk_p["conv2"]["kernel"])
+        s2, t2 = _affine(blk_p, blk_b, 2)
+        skip_s2d = space_to_depth(skip[None])[0]
+        xin = jnp.concatenate([x, skip_s2d], axis=-1).astype(dtype)
+        x = conv_chain(xin, [(k1, s1, t1, True), (k2, s2, t2, True)],
+                       br=br, wc=wc, interpret=interpret)
+        if i < 3:
+            x = depth_to_space(x[None])[0]     # native layout for next fold
+
+    # block4 + seg head: fused trio at s2d cells of the full resolution
+    blk_p, blk_b = dp["block4"], db["block4"]
+    xd = depth_to_space(x[None])[0]            # (H/2, W/2, 16)
+    k1 = upfold_kernel(blk_p["conv1"]["kernel"])
+    s1, t1 = _affine(blk_p, blk_b, 1)
+    k2 = s2d_kernel(blk_p["conv2"]["kernel"])
+    s2, t2 = _affine(blk_p, blk_b, 2)
+    head = dp["seg_head"]
+    kh = s2d_kernel(head["kernel"])
+    bh = _tile4(head["bias"].astype(jnp.float32))
+    y = conv_chain(xd.astype(dtype),
+                   [(k1, s1, t1, True), (k2, s2, t2, True),
+                    (kh, None, bh, False)],
+                   br=br, wc=wc, out_dtype=jnp.float32,
+                   interpret=interpret)
+    return depth_to_space(y[None]).astype(jnp.float32)
 
 
 def unet_segment_fast(model, variables, x, dtype=None):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wsiseg_tpu.models.fast_decoder import decode_fast
+from wsiseg_tpu.models.fast_decoder import decode_fast, decode_fold
 from wsiseg_tpu.models.fast_encoder import encode_stages
 from wsiseg_tpu.models.resnet import ENCODER_SPECS, BasicBlock
 from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights, stem_conv,
@@ -57,10 +57,10 @@ def pack_for_stem(img_u8: np.ndarray, mean) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(hin, wc, 6).transpose(0, 2, 1))
 
 
-@partial(jax.jit, static_argnames=("arch", "h", "w", "interpret"))
+@partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold"))
 def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                     *, arch: str, h: int, w: int,
-                    interpret: bool = False):
+                    interpret: bool = False, fold: bool = False):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[arch]
@@ -76,6 +76,9 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                    interpret=interpret)[: h // 2][None]  # (1, H/2, W/2, 64)
 
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
+    if fold and h % 32 == 0 and w % 32 == 0:
+        return decode_fold(variables, feats, jnp.bfloat16,
+                           interpret=interpret)[0]
     return decode_fast(variables, feats, jnp.bfloat16)[0]
 
 

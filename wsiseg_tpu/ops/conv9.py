@@ -1,0 +1,332 @@
+"""Pallas fused 3×3 conv: nine shifted VMEM matmuls + affine epilogue.
+
+XLA's conv lowering collapses for narrow-output-channel 3×3 convs at slide
+scale (measured v5e @3072×4096: dec block3 128→32 runs 8.7 TFLOP/s, the
+s2d block4 tail 14.3 — see scripts/profile_fast.py), because N=Cout < 128
+starves the MXU output lanes AND the lowering adds relayout passes. This
+kernel keeps the conv at its native formulation but feeds the MXU
+directly:
+
+* a (BR+2, WC+16, C) input row-window is DMA'd HBM→VMEM per grid step
+  (rows overlap 2/BR — the only traffic overhead);
+* the nine taps are lane-aligned ``pltpu.roll`` shifts of the resident
+  window (dy = row offset into the window, dx = sublane roll along W),
+  each contracted against a (C, N) weight slice on the MXU with float32
+  accumulation;
+* BN scale is folded into the weights host-side; bias + optional ReLU
+  fuse into the epilogue; output is written bf16.
+
+Unlike round-1's ``ops/pallas_conv.py`` (kept as a documented negative
+result) there is NO host-graph halo materialization and NO float32
+output — the only HBM traffic is x once (+row halo), w once, out once.
+
+Capability twin of the reference's decoder convs (smp Unet blocks,
+reference train.py:29); used by ``models/fast_decoder`` for the dense
+whole-slide inference tail.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv9_kernel(x_hbm, w_ref, b_ref, out_ref, scratch, sem, *,
+                  br: int, wc: int, relu: bool):
+    # double-buffered input pipeline: per-grid-step serialization (DMA
+    # wait → compute → out copy) costs ~28 µs/step on v5e regardless of
+    # the dot count (scripts/probe_dot.py: 1 tap and 9 taps take the same
+    # time), so the input DMA for step k+1 is started before computing
+    # step k
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ny = pl.num_programs(0)
+    nx = pl.num_programs(1)
+    wcp = scratch.shape[2]
+    k = i * nx + j
+
+    def dma(step, slot):
+        bi = step // nx
+        bj = step % nx
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bi * br, br + 2), pl.ds(bj * wc, wcp)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(k + 1 < ny * nx)
+    def _():
+        dma(k + 1, (k + 1) % 2).start()
+
+    dma(k, k % 2).wait()
+    win = scratch[k % 2]
+
+    acc = None
+    for dx in range(3):
+        # ONE unaligned sublane slice per dx (a relayout copy — fine on
+        # Mosaic, scripts/probe_mosaic.py P1; 3D rolls are not); the dy
+        # taps then row-slice the copied VALUE on its untiled outer dim,
+        # which is free.
+        a = win[:, dx:dx + wc]                           # (br+2, wc, C)
+        for dy in range(3):
+            part = jax.lax.dot_general(
+                a[dy:dy + br], w_ref[3 * dy + dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (br, wc, N)
+            acc = part if acc is None else acc + part
+
+    y = acc + b_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _pad_input(x: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    """Zero-pad (H, W, C) → (hp+2, wp+16, C) with the conv's 1-px halo at
+    row/col 0 (SAME zero padding) and alignment slack on the right."""
+    h, w, _ = x.shape
+    return jnp.pad(x, ((1, hp + 1 - h), (1, wp + 15 - w), (0, 0)))
+
+
+@partial(jax.jit, static_argnames=("br", "wc", "relu", "out_dtype",
+                                   "interpret"))
+def _conv9_padded(xp, w9, bias, *, br, wc, relu, out_dtype, interpret):
+    hp = xp.shape[0] - 2
+    ny, nx = hp // br, (xp.shape[1] - 16) // wc
+    c = xp.shape[2]
+    n = w9.shape[2]
+    kern = partial(_conv9_kernel, br=br, wc=wc, relu=relu)
+    return pl.pallas_call(
+        kern,
+        grid=(ny, nx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x: manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w9 (9, C, N)
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bias (1, N)
+        ],
+        out_specs=pl.BlockSpec((br, wc, n), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, nx * wc, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, br + 2, wc + 16, c), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xp, w9, bias)
+
+
+def conv9(x: jnp.ndarray, kernel: jnp.ndarray,
+          scale=None, bias=None, relu: bool = False,
+          br: int = 8, wc: int = 1024,
+          out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """SAME 3×3/1 conv with fused affine epilogue.
+
+    x: (H, W, Cin) bf16/f32; kernel: (3, 3, Cin, Cout).
+    Computes ``relu((conv(x, kernel)) * scale + bias)`` with f32
+    accumulation — ``scale`` is folded into the weights host-side.
+    Returns (H, W, Cout) ``out_dtype``.
+    """
+    h, w, cin = x.shape
+    n = kernel.shape[3]
+    wc = min(wc, w + (-w) % 16)
+    hp = h + (-h) % br
+    wp = w + (-w) % wc
+
+    kf = kernel.astype(jnp.float32)
+    if scale is not None:
+        kf = kf * scale.astype(jnp.float32)
+    cp = cin + (-cin) % 128
+    if cp != cin:
+        # manual-DMA slices of a lane-tiled HBM ref need 128-multiple
+        # lanes; sub-128 buffers are stored lane-padded by Mosaic anyway,
+        # so the explicit pad costs little extra HBM traffic
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - cin)))
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, cp - cin), (0, 0)))
+        cin = cp
+    w9 = kf.reshape(9, cin, n).astype(x.dtype)
+    b = (jnp.zeros((n,), jnp.float32) if bias is None
+         else bias.astype(jnp.float32)).reshape(1, n)
+
+    xp = _pad_input(x, hp, wp)
+    out = _conv9_padded(xp, w9, b, br=br, wc=wc, relu=relu,
+                        out_dtype=out_dtype, interpret=interpret)
+    return out[:h, :w]
+
+
+def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
+                  h: int, w: int, relus, sem, scratch, out_ref):
+    """Fused L-layer 3×3 conv chain: one input window DMA, all
+    intermediates VMEM-resident, one output write.
+
+    ``wb_refs`` = (w9_0, b_0, w9_1, b_1, ...). The window carries an
+    L-deep halo; after each inner layer, rows/cols outside the true image
+    rectangle are re-zeroed so the next conv sees XLA's zero-padding
+    semantics (conv-of-pad ≠ pad-of-conv at borders otherwise)."""
+    L = len(relus)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nx = pl.num_programs(1)
+    k = i * nx + j
+
+    def dma(step, slot):
+        bi = step // nx
+        bj = step % nx
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bi * br, br + 2 * L), pl.ds(bj * wc, wcp)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(k == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(k + 1 < pl.num_programs(0) * nx)
+    def _():
+        dma(k + 1, (k + 1) % 2).start()
+
+    dma(k, k % 2).wait()
+    cur = scratch[k % 2]                      # (br+2L, wcp, C0)
+
+    for l in range(L):
+        w9 = wb_refs[2 * l]
+        bias = wb_refs[2 * l + 1]
+        rows = br + 2 * (L - l) - 2           # rows after this layer
+        cols = wcp - 2 * (l + 1)              # cols after this layer
+        acc = None
+        for dx in range(3):
+            a = cur[:, dx:dx + cols]          # (rows+2, cols, C)
+            for dy in range(3):
+                part = jax.lax.dot_general(
+                    a[dy:dy + rows], w9[3 * dy + dx],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+        y = acc + bias[0]
+        if relus[l]:
+            y = jnp.maximum(y, 0.0)
+        if l + 1 < L:
+            # zero out-of-image rows/cols (absolute frame of this layer:
+            # rows start at i*br - (L-l-1), cols at j*wc - (L-l-1))
+            d = L - l - 1
+            r0 = i * br - d
+            c0 = j * wc - d
+            rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 0) + r0
+            cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1) + c0
+            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+            y = jnp.where(ok, y, 0.0)
+            cur = y.astype(cur.dtype)
+    out_ref[:] = y[:, :wc].astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("br", "wc", "h", "w", "relus",
+                                   "out_dtype", "interpret"))
+def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret):
+    L = len(relus)
+    hp = xp.shape[0] - 2 * L
+    ny = hp // br
+    nx = (xp.shape[1] - 2 * L) // wc
+    wcp_step = wc + 2 * L                     # window cols per grid step
+    c0 = xp.shape[2]
+    n_out = wbs[-2].shape[2]
+    flat = []
+    for l in range(L):
+        flat += [wbs[2 * l], wbs[2 * l + 1]]
+    kern = partial(_chain_kernel, br=br, wc=wc, wcp=wcp_step, h=h, w=w,
+                   relus=relus)
+
+    def body(x_hbm, *wb_and_out):
+        wb = wb_and_out[:-3]
+        out_ref, scratch, sem = wb_and_out[-3], wb_and_out[-2], \
+            wb_and_out[-1]
+        kern(x_hbm, *wb, out_ref=out_ref, scratch=scratch, sem=sem)
+
+    return pl.pallas_call(
+        body,
+        grid=(ny, nx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L),
+        out_specs=pl.BlockSpec((br, wc, n_out), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, nx * wc, n_out), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, br + 2 * L, wcp_step, c0), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(xp, *flat)
+
+
+def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
+               out_dtype=jnp.bfloat16, interpret: bool = False
+               ) -> jnp.ndarray:
+    """Fused chain of SAME 3×3/1 convs with affine+ReLU epilogues.
+
+    ``layers``: sequence of ``(kernel (3,3,Ci,Co), scale|None, bias|None,
+    relu)``. Equivalent to applying :func:`conv9` per layer (bf16
+    intermediates, f32 accumulation) but with ONE HBM round-trip: the
+    input window carries an L-deep halo, every intermediate stays in
+    VMEM, and only the last layer's activations are written back. Border
+    zero-padding semantics match XLA per-layer SAME padding exactly
+    (interior halo values are re-zeroed between layers).
+
+    Capability twin of the reference decoder's chained conv+BN+ReLU
+    blocks (smp Unet via train.py:29) for the dense-inference tail.
+    """
+    h, w, cin = x.shape
+    L = len(layers)
+    wbs = []
+    for (kernel, scale, bias, relu) in layers:
+        ci, n = kernel.shape[2], kernel.shape[3]
+        kf = kernel.astype(jnp.float32)
+        if scale is not None:
+            kf = kf * scale.astype(jnp.float32)
+        b = (jnp.zeros((n,), jnp.float32) if bias is None
+             else bias.astype(jnp.float32)).reshape(1, n)
+        wbs += [kf.reshape(9, ci, n), b]
+
+    # lane-pad the input channels (manual-DMA constraint, see conv9)
+    cp = cin + (-cin) % 128
+    if cp != cin:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - cin)))
+        wbs[0] = jnp.pad(wbs[0], ((0, 0), (0, cp - cin), (0, 0)))
+    wbs[0] = wbs[0].astype(x.dtype)
+    for l in range(1, L):
+        wbs[2 * l] = wbs[2 * l].astype(x.dtype)
+
+    # choose nx to minimize right padding (wc is a TARGET block width:
+    # e.g. w=544 with wc=512 becomes 2 blocks of 272, not 2×512 with 47%
+    # pad), then pad spatially: L-deep halo top/left, (align+L) bottom/right
+    nx = -(-w // wc)
+    wc = -(-(-(-w // nx)) // 8) * 8      # ceil(ceil(w/nx) / 8) * 8
+    wp = nx * wc
+    hp = h + (-h) % br
+    xp = jnp.pad(x, ((L, hp + L - h), (L, wp + L - w), (0, 0)))
+    relus = tuple(bool(r) for (_, _, _, r) in layers)
+    out = _chain_padded(xp, tuple(wbs), br=br, wc=wc, h=h, w=w,
+                        relus=relus, out_dtype=out_dtype,
+                        interpret=interpret)
+    return out[:h, :w]
+
+
+def conv9_ref(x, kernel, scale=None, bias=None, relu=False):
+    """numpy/jnp oracle for tests."""
+    y = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32), kernel.astype(jnp.float32), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y

@@ -32,6 +32,28 @@ def threshold_probs(logits: jnp.ndarray,
     return labels, probs
 
 
+def threshold_probs_planar(logits: jnp.ndarray,
+                           class_probs: Sequence[float]
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`threshold_probs` computed in planar (C, H, W) layout.
+
+    Channels-last (H, W, C) puts C=num_classes (4) on the TPU lane dim, so
+    every softmax/compare runs at 4/128 lane utilization (measured 10 ms
+    for a 3072×4096 canvas on v5e); transposing to planar makes them
+    full-lane elementwise ops over (H, W) planes.
+
+    Returns (labels uint8 (H, W), probs (C, H, W)).
+    """
+    x = jnp.transpose(logits, (2, 0, 1)).astype(jnp.float32)   # (C, H, W)
+    x = x - jnp.max(x, axis=0)
+    e = jnp.exp(x)
+    probs = e / jnp.sum(e, axis=0)
+    floors = jnp.asarray(class_probs, dtype=probs.dtype)
+    probs = jnp.where(probs < floors[:, None, None], 0.0, probs)
+    labels = jnp.argmax(probs, axis=0).astype(jnp.uint8)
+    return labels, probs
+
+
 # Class→RGB rendering: class c (1-based among non-background) lights channel
 # c-1, matching the reference loop (utils/preprocessing.py:191-199).
 def pred_to_mask(labels: jnp.ndarray, num_classes: int,
