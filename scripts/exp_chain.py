@@ -82,15 +82,15 @@ def main():
             return y
         bench(f"conv9-singles {name}", jax.jit(singles), x, flops=fl)
 
-        for br, wc in ((8, 128), (8, 256), (8, 512), (8, 1024),
-                       (16, 256), (16, 512), (32, 256)):
+        for br, wc in ((8, 256), (8, 512), (8, 1024),
+                       (16, 512), (16, 1024), (32, 512)):
             if wc > w:
                 continue
             L = len(layers)
             cpad = chans[0] + (-chans[0]) % 128
             vm = 2 * (br + 2 * L) * (wc + 2 * L + 16) * cpad * 2 \
                 + 2 * br * wc * max(chans[-1], 128) * 2
-            if vm > 14e6:
+            if vm > 40e6:
                 continue
             fc = jax.jit(lambda x, layers=tuple(layers), br=br, wc=wc:
                          conv_chain(x, layers, br=br, wc=wc))

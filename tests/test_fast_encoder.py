@@ -41,3 +41,26 @@ def test_encoder_parity(rng):
         assert r.shape == f.shape
         np.testing.assert_allclose(np.asarray(r), np.asarray(f),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_encode_stages_fold_parity(rng):
+    """Layer-1 conv-chain encoder (encode_stages_fold) matches
+    encode_stages (interpret mode on CPU)."""
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.models.fast_encoder import (encode_stages,
+                                                encode_stages_fold)
+    from wsiseg_tpu.models.resnet import ENCODER_SPECS
+    from wsiseg_tpu.models.ynet import init_ynet
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(3))
+    ep = variables["params"]["encoder"]
+    eb = variables["batch_stats"]["encoder"]
+    _, stages = ENCODER_SPECS[model.arch]
+    c1 = jnp.asarray(rng.randn(1, 32, 32, 64).astype(np.float32))
+    ref = encode_stages(ep, eb, c1, stages, jnp.float32)
+    got = encode_stages_fold(ep, eb, c1, stages, jnp.float32, br=8, wc=16,
+                             interpret=True)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)

@@ -176,3 +176,15 @@ def test_resize_shapes_and_dtype(rng):
     outl = resize.resize_nearest(jnp.asarray(lab), 16, 24)
     assert outl.shape == (16, 24) and outl.dtype == jnp.int32
     assert set(np.unique(np.asarray(outl))) <= set(np.unique(lab))
+
+
+def test_threshold_probs_planar_matches_hwc(rng):
+    from wsiseg_tpu.ops.threshold import threshold_probs, \
+        threshold_probs_planar
+    logits = rng.randn(33, 41, 4).astype(np.float32)
+    cp = (0.4, 0.45, 0.5, 0.55)
+    l1, p1 = threshold_probs(jnp.asarray(logits), cp)
+    l2, p2 = threshold_probs_planar(jnp.asarray(logits), cp)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(p1),
+                               np.asarray(p2).transpose(1, 2, 0), atol=1e-6)

@@ -72,3 +72,24 @@ def test_sharded_cls_mode_matches_single_device(setup):
 
     res_rows = engine.predict_slide_sharded_rows(plan, mesh)
     np.testing.assert_array_equal(res_rows.labels, res_single.labels)
+
+
+def test_streamed_sharded_matches_single_device(setup):
+    """Streamed tiles + row-sharded canvas (host decode → stripe-routed
+    batches → one ppermute merge) equals the plain engine exactly."""
+    cfg, model, variables, plan, mesh = setup
+    engine = DenseInferenceEngine(model, variables, cfg)
+    res_ss = engine.predict_slide_streamed_sharded(plan, mesh,
+                                                   keep_canvas=True)
+    res_single = engine.predict_slide(plan, keep_canvas=True)
+    np.testing.assert_allclose(res_ss.canvas, res_single.canvas, atol=1e-5)
+    np.testing.assert_array_equal(res_ss.labels, res_single.labels)
+
+
+def test_streamed_sharded_cls_mode(setup):
+    cfg, model, variables, plan, mesh = setup
+    eng_ss = DenseInferenceEngine(model, variables, cfg, mode="cls")
+    res_ss = eng_ss.predict_slide_streamed_sharded(plan, mesh,
+                                                   keep_canvas=True)
+    res_single = eng_ss.predict_slide(plan, keep_canvas=True)
+    np.testing.assert_allclose(res_ss.canvas, res_single.canvas, atol=1e-5)

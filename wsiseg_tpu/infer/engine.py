@@ -233,7 +233,8 @@ class DenseInferenceEngine:
         canvas = segment_whole_image(
             self.model, self.variables, img, cfg.dataset_mean,
             cfg.dataset_std,
-            interpret=getattr(self, "fcn_fast_interpret", False))[:hs, :ws]
+            interpret=getattr(self, "fcn_fast_interpret", False),
+            fold=getattr(self, "fcn_fold", hp % 32 == 0))[:hs, :ws]
         return self._finish(plan, canvas, len(plan.grid), t0,
                             keep_canvas, keep_probs)
 
@@ -364,6 +365,146 @@ class DenseInferenceEngine:
                           b["xs"], b["valid"])
 
         return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def predict_slide_streamed_sharded(self, plan: SlidePlan, mesh,
+                                       axis: str = "data",
+                                       nthreads: int = 8,
+                                       keep_canvas: bool = False,
+                                       keep_probs: bool = False
+                                       ) -> SlideResult:
+        """Streamed tiles + ROW-SHARDED canvas over a device mesh.
+
+        For slides where neither the scan-level image (level 0/1 scans)
+        nor a replicated logit canvas fits one device: host threads decode
+        tile batches (C++ ``read_tiles`` fast path when available), each
+        batch routed to the device that owns its y-origin stripe; every
+        device accumulates only its stripe (+ tile-overhang halo rows),
+        and ONE ppermute halo merge runs at the end. Stitching semantics
+        match :meth:`predict_slide` exactly (tested vs the psum path on an
+        8-device CPU mesh). Combines the reference's streaming eval
+        (utils/eval.py:190-215 tile loop) with the SURVEY §5 stripe-
+        sharded canvas; seg and cls modes.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from wsiseg_tpu.data.pipeline import prefetch_to_device
+
+        cfg = self.cfg
+        t0 = time.time()
+        n_dev = mesh.shape[axis]
+        bs = self.batch
+        hs, ws = plan.stitch_hw
+        stripe = -(-hs // n_dev)
+        n_halo = -(-(cfg.tile_h - 1) // stripe)
+        local_rows = stripe * (1 + n_halo)
+
+        xs, ys = plan.grid.xs, plan.grid.ys
+        n = len(xs)
+        owner = np.minimum(ys // stripe, n_dev - 1)
+        per = [np.flatnonzero(owner == d) for d in range(n_dev)]
+        n_batches = max(1, -(-max(len(p) for p in per) // bs))
+        cap = n_batches * bs
+        xs_s = np.zeros((n_dev, cap), np.int32)
+        ys_s = np.zeros((n_dev, cap), np.int32)
+        val_s = np.zeros((n_dev, cap), np.float32)
+        for d, idx in enumerate(per):
+            k = len(idx)
+            xs_s[d, :k] = xs[idx]
+            ys_s[d, :k] = ys[idx]
+            val_s[d, :k] = 1.0
+
+        slide = plan.slide
+        ds_lvl = slide.level_downsamples[cfg.scan_level]
+        reader = getattr(slide, "read_tiles", None)
+        th, tw = cfg.tile_h, cfg.tile_w
+
+        def host_batches():
+            for bi in range(n_batches):
+                sl = slice(bi * bs, (bi + 1) * bs)
+                tiles = np.empty((n_dev, bs, th, tw, 3), np.uint8)
+                for d in range(n_dev):
+                    bx, by, bv = xs_s[d, sl], ys_s[d, sl], val_s[d, sl]
+                    if reader is not None:
+                        tiles[d] = reader(bx, by, cfg.scan_level, tw, th,
+                                          nthreads=nthreads)
+                    else:
+                        tiles[d] = np.stack([
+                            slide.read_region(
+                                (int(x * ds_lvl), int(y * ds_lvl)),
+                                cfg.scan_level, (tw, th))
+                            for x, y in zip(bx, by)])
+                yield {"tiles": tiles,
+                       "ys": (ys_s[:, sl]
+                              - (stripe * np.arange(n_dev))[:, None]
+                              ).astype(np.int32),
+                       "xs": xs_s[:, sl], "valid": val_s[:, sl]}
+
+        step, merge = self._streamed_sharded_runs(mesh, axis, hs, ws,
+                                                  local_rows)
+        sh = NamedSharding(mesh, P(axis))
+        variables_r = jax.device_put(self.variables,
+                                     NamedSharding(mesh, P()))
+        canvas = jax.device_put(
+            np.zeros((n_dev, local_rows, ws, cfg.num_classes), np.float32),
+            sh)
+        for b in prefetch_to_device(host_batches(),
+                                    depth=cfg.prefetch_depth, device=sh):
+            canvas = step(variables_r, canvas, b["tiles"], b["ys"],
+                          b["xs"], b["valid"])
+        canvas = merge(canvas)
+        return self._finish(plan, canvas, n, t0, keep_canvas, keep_probs)
+
+    def _streamed_sharded_runs(self, mesh, axis: str, hs: int, ws: int,
+                               local_rows: int):
+        key = ("strsh", self.mode, id(mesh), axis, hs, ws, local_rows,
+               self.batch)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        cfg = self.cfg
+        n_dev = mesh.shape[axis]
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                           P(axis)),
+                 out_specs=P(axis), check_rep=False)
+        def step(variables, canvas, tiles, ys, xs, val):
+            cv = canvas[0]
+            if self.mode == "cls":
+                x = self._normalize(tiles[0])
+                logits = self.model.apply(variables, x,
+                                          method=YNet.classify)
+                logits = logits * val[0][:, None]
+                cv = scatter_add_scalar_tiles(cv, logits, ys[0], xs[0],
+                                              cfg.tile_h, cfg.tile_w)
+            else:
+                seg = self._seg_forward_tiles(variables, tiles[0])
+                seg = seg * val[0][:, None, None, None]
+                cv = scatter_add_tiles(cv, seg, ys[0], xs[0])
+            return cv[None]
+
+        stripe_eff = -(-hs // n_dev)
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(axis),),
+                 out_specs=P(axis, None, None), check_rep=False)
+        def merge(canvas):
+            local = canvas[0]
+            main = local[:stripe_eff]
+            n_halo = local_rows // stripe_eff - 1
+            for k in range(1, 1 + n_halo):
+                chunk = local[stripe_eff * k:stripe_eff * (k + 1)]
+                perm = [(i, i + k) for i in range(n_dev - k)]
+                recv = jax.lax.ppermute(chunk, axis, perm)
+                main = main + recv
+            return main
+
+        step_j = jax.jit(step, donate_argnums=(1,))
+        merge_j = jax.jit(lambda c: merge(c)[:hs])
+        self._sharded_cache[key] = (step_j, merge_j)
+        return step_j, merge_j
 
     def _streamed_batch(self, variables, canvas, tiles_u8, ys, xs, valid):
         cfg = self.cfg
@@ -657,8 +798,8 @@ class DenseInferenceEngine:
                     self.variables, packed, tuple(cfg.dataset_mean),
                     tuple(cfg.dataset_std), arch=self.model.arch,
                     h=hp, w=wp,
-                    interpret=getattr(self, "fcn_fast_interpret",
-                                      False))[:hs, :ws]
+                    interpret=getattr(self, "fcn_fast_interpret", False),
+                    fold=getattr(self, "fcn_fold", hp % 32 == 0))[:hs, :ws]
                 return self._post(cv, mask, out_hw=(h2, w2))
         elif mode == "fcn":
             h, w = img.shape[:2]

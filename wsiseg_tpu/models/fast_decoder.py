@@ -36,7 +36,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wsiseg_tpu.ops.conv9 import conv_chain
+from wsiseg_tpu.ops.conv9 import conv9, conv_chain
+
+
+def _run_layers(x, layers, *, br, wc, out_dtype=jnp.bfloat16,
+                use_chain=True, interpret=False):
+    """Apply a conv layer group: ONE fused chain kernel, or conv9 per
+    layer (fallback while the chain lowering is tuned)."""
+    if use_chain:
+        return conv_chain(x, layers, br=br, wc=wc, out_dtype=out_dtype,
+                          interpret=interpret)
+    for li, (k, s, b, relu) in enumerate(layers):
+        last = li + 1 == len(layers)
+        x = conv9(x, k, s, b, relu=relu, br=br, wc=min(wc, 256),
+                  out_dtype=out_dtype if last else jnp.bfloat16,
+                  interpret=interpret)
+    return x
 
 
 def s2d_kernel_f(w, f: int):
@@ -185,7 +200,7 @@ def decode_fast(variables, feats, dtype):
 
 
 def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
-                interpret: bool = False):
+                use_chain: bool = True, interpret: bool = False):
     """U-Net decoder forward with blocks 2–4 + head as fused Pallas
     conv-chain kernels in the s2d(2) domain (:func:`wsiseg_tpu.ops.conv9.
     conv_chain`): per block ONE input-window DMA, both convs (three for
@@ -233,8 +248,9 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
         s2, t2 = _affine(blk_p, blk_b, 2)
         skip_s2d = space_to_depth(skip[None])[0]
         xin = jnp.concatenate([x, skip_s2d], axis=-1).astype(dtype)
-        x = conv_chain(xin, [(k1, s1, t1, True), (k2, s2, t2, True)],
-                       br=br, wc=wc, interpret=interpret)
+        x = _run_layers(xin, [(k1, s1, t1, True), (k2, s2, t2, True)],
+                        br=br, wc=wc, use_chain=use_chain,
+                        interpret=interpret)
         if i < 3:
             x = depth_to_space(x[None])[0]     # native layout for next fold
 
@@ -248,11 +264,11 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     head = dp["seg_head"]
     kh = s2d_kernel(head["kernel"])
     bh = _tile4(head["bias"].astype(jnp.float32))
-    y = conv_chain(xd.astype(dtype),
-                   [(k1, s1, t1, True), (k2, s2, t2, True),
-                    (kh, None, bh, False)],
-                   br=br, wc=wc, out_dtype=jnp.float32,
-                   interpret=interpret)
+    y = _run_layers(xd.astype(dtype),
+                    [(k1, s1, t1, True), (k2, s2, t2, True),
+                     (kh, None, bh, False)],
+                    br=br, wc=wc, out_dtype=jnp.float32,
+                    use_chain=use_chain, interpret=interpret)
     return depth_to_space(y[None]).astype(jnp.float32)
 
 

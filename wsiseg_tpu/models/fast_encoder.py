@@ -73,6 +73,22 @@ def supports_fast_encode(model) -> bool:
     return block_cls is BasicBlock
 
 
+def _basic_block(ep, eb, xx, i, j, stride, dtype):
+    p = ep[f"layer{i + 1}_{j}"]
+    b = eb[f"layer{i + 1}_{j}"]
+    identity = xx
+    y = _conv(xx, p["conv1"]["kernel"].astype(dtype), stride)
+    y = _bn_relu(y, p["bn1"], b["bn1"]).astype(dtype)
+    y = _conv(y, p["conv2"]["kernel"].astype(dtype))
+    y = _bn_relu(y, p["bn2"], b["bn2"], relu=False)
+    if "down_conv" in p:
+        identity = _conv(xx, p["down_conv"]["kernel"].astype(dtype),
+                         stride, padding=((0, 0), (0, 0)))
+        identity = _bn_relu(identity, p["down_bn"], b["down_bn"],
+                            relu=False)
+    return jax.nn.relu(y + identity.astype(jnp.float32)).astype(dtype)
+
+
 def encode_stages(ep, eb, c1, stages, dtype):
     """Functional inference forward of the four ResNet stages, starting
     from the stem output ``c1``. Returns [c5, c4, c3, c2, c1]."""
@@ -82,19 +98,49 @@ def encode_stages(ep, eb, c1, stages, dtype):
     for i, n_blocks in enumerate(stages):
         for j in range(n_blocks):
             stride = 2 if (i > 0 and j == 0) else 1
-            p = ep[f"layer{i + 1}_{j}"]
-            b = eb[f"layer{i + 1}_{j}"]
-            identity = xx
-            y = _conv(xx, p["conv1"]["kernel"].astype(dtype), stride)
-            y = _bn_relu(y, p["bn1"], b["bn1"]).astype(dtype)
-            y = _conv(y, p["conv2"]["kernel"].astype(dtype))
-            y = _bn_relu(y, p["bn2"], b["bn2"], relu=False)
-            if "down_conv" in p:
-                identity = _conv(xx, p["down_conv"]["kernel"].astype(dtype),
-                                 stride, padding=((0, 0), (0, 0)))
-                identity = _bn_relu(identity, p["down_bn"], b["down_bn"],
-                                    relu=False)
-            xx = jax.nn.relu(y + identity.astype(jnp.float32)).astype(dtype)
+            xx = _basic_block(ep, eb, xx, i, j, stride, dtype)
+        feats.append(xx)
+
+    c2, c3, c4, c5 = feats
+    return [c5, c4, c3, c2, c1]
+
+
+def encode_stages_fold(ep, eb, c1, stages, dtype, *, br: int = 8,
+                       wc: int = 512, interpret: bool = False):
+    """:func:`encode_stages` with layer 1's residual blocks computed as
+    fused Pallas conv-chains (:func:`wsiseg_tpu.ops.conv9.conv_chain`).
+
+    Layer 1 dominates encoder time at slide scale (64→64 convs at H/4:
+    XLA runs them at ~9 TFLOP/s); each block becomes ONE kernel for its
+    two convs (bn1+relu and bn2 fused, residual add + final relu in XLA
+    — elementwise, fuses into the next kernel's pad). Batch-1 only.
+    Deeper stages (channels ≥ 128 at small dims) stay on XLA.
+    """
+    from wsiseg_tpu.models.fast_decoder import _bn_affine
+    from wsiseg_tpu.ops.conv9 import conv_chain
+
+    assert c1.shape[0] == 1, "encode_stages_fold is batch-1 (FCN) only"
+    xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+
+    x = xx[0]
+    for j in range(stages[0]):
+        p, b = ep[f"layer1_{j}"], eb[f"layer1_{j}"]
+        s1, t1 = _bn_affine(p["bn1"], b["bn1"])
+        s2, t2 = _bn_affine(p["bn2"], b["bn2"])
+        y = conv_chain(x, [(p["conv1"]["kernel"], s1, t1, True),
+                           (p["conv2"]["kernel"], s2, t2, False)],
+                       br=br, wc=wc, out_dtype=jnp.float32,
+                       interpret=interpret)
+        x = jax.nn.relu(y + x.astype(jnp.float32)).astype(dtype)
+    xx = x[None]
+
+    feats = [xx]
+    for i, n_blocks in enumerate(stages):
+        if i == 0:
+            continue
+        for j in range(n_blocks):
+            stride = 2 if j == 0 else 1
+            xx = _basic_block(ep, eb, xx, i, j, stride, dtype)
         feats.append(xx)
 
     c2, c3, c4, c5 = feats

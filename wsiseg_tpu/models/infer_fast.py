@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from wsiseg_tpu.models.fast_decoder import decode_fast, decode_fold
-from wsiseg_tpu.models.fast_encoder import encode_stages
+from wsiseg_tpu.models.fast_encoder import (encode_stages,
+                                            encode_stages_fold)
 from wsiseg_tpu.models.resnet import ENCODER_SPECS, BasicBlock
 from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights, stem_conv,
                                         stem_geometry)
@@ -75,20 +76,26 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
     c1 = stem_conv(img_packed, w147, bias, h // 2, w // 2,
                    interpret=interpret)[: h // 2][None]  # (1, H/2, W/2, 64)
 
-    feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
     if fold and h % 32 == 0 and w % 32 == 0:
+        feats = encode_stages_fold(ep, eb, c1, stages, jnp.bfloat16,
+                                   interpret=interpret)
         return decode_fold(variables, feats, jnp.bfloat16,
                            interpret=interpret)[0]
+    feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
     return decode_fast(variables, feats, jnp.bfloat16)[0]
 
 
 def segment_whole_image(model, variables, img_u8: np.ndarray,
                         dataset_mean, dataset_std,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        fold: bool = False) -> jnp.ndarray:
     """Dense segmentation logits for one (H, W, 3) uint8 image (H, W even,
-    W/2 lane-aligned). Returns (H, W, num_classes) float32 on device."""
+    W/2 lane-aligned). Returns (H, W, num_classes) float32 on device.
+    ``fold=True`` routes layer 1 + decoder blocks 2-4 through the fused
+    Pallas conv-chain kernels (requires H, W multiples of 32)."""
     h, w = img_u8.shape[:2]
     packed = pack_for_stem(np.asarray(img_u8), dataset_mean)
     return _segment_packed(variables, jnp.asarray(packed),
                            tuple(dataset_mean), tuple(dataset_std),
-                           arch=model.arch, h=h, w=w, interpret=interpret)
+                           arch=model.arch, h=h, w=w, interpret=interpret,
+                           fold=fold)

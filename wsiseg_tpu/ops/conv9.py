@@ -163,7 +163,8 @@ def conv9(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
-                  h: int, w: int, relus, sem, scratch, out_ref):
+                  h: int, w: int, relus, sem, scratch, ybuf, out_ref,
+                  mask_mode: str = "full"):
     """Fused L-layer 3×3 conv chain: one input window DMA, all
     intermediates VMEM-resident, one output write.
 
@@ -193,13 +194,21 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
         dma(k + 1, (k + 1) % 2).start()
 
     dma(k, k % 2).wait()
-    cur = scratch[k % 2]                      # (br+2L, wcp, C0)
 
     for l in range(L):
         w9 = wb_refs[2 * l]
         bias = wb_refs[2 * l + 1]
         rows = br + 2 * (L - l) - 2           # rows after this layer
         cols = wcp - 2 * (l + 1)              # cols after this layer
+        cl = w9.shape[1]
+        if l == 0:
+            cur = scratch[k % 2]              # (br+2L, wcp, C0)
+        else:
+            # round-trip each layer through a VMEM ref: value-chained
+            # layers explode Mosaic's register allocation (compile >10min
+            # and 4.6x slower code); ref-staged layers keep the inner
+            # structure identical to the fast conv9 single kernel
+            cur = ybuf[(l - 1) % 2, :rows + 2, :cols + 2, :cl]
         acc = None
         for dx in range(3):
             a = cur[:, dx:dx + cols]          # (rows+2, cols, C)
@@ -214,39 +223,56 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
             y = jnp.maximum(y, 0.0)
         if l + 1 < L:
             # zero out-of-image rows/cols (absolute frame of this layer:
-            # rows start at i*br - (L-l-1), cols at j*wc - (L-l-1))
+            # rows start at i*br - (L-l-1), cols at j*wc - (L-l-1));
+            # needed only where the frame can leave the image rectangle
             d = L - l - 1
             r0 = i * br - d
             c0 = j * wc - d
-            rr = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 0) + r0
-            cc = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1) + c0
-            ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-            y = jnp.where(ok, y, 0.0)
-            cur = y.astype(cur.dtype)
+            if mask_mode == "full":
+                sh = (rows, cols, y.shape[-1])
+                rr = jax.lax.broadcasted_iota(jnp.int32, sh, 0) + r0
+                cc = jax.lax.broadcasted_iota(jnp.int32, sh, 1) + c0
+                ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+                y = jnp.where(ok, y, 0.0)
+            elif mask_mode == "bcast1":
+                rr = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, cols, 1), 0) + r0
+                cc = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, cols, 1), 1) + c0
+                ok = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+                y = jnp.where(ok, y, 0.0)
+            # "none": skip (INEXACT at image borders; measurement only)
+            ybuf[l % 2, :rows, :cols, :y.shape[-1]] = \
+                y.astype(ybuf.dtype)
     out_ref[:] = y[:, :wc].astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("br", "wc", "h", "w", "relus",
-                                   "out_dtype", "interpret"))
-def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret):
+                                   "out_dtype", "interpret", "mask_mode"))
+def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
+                  mask_mode="full"):
     L = len(relus)
     hp = xp.shape[0] - 2 * L
     ny = hp // br
-    nx = (xp.shape[1] - 2 * L) // wc
-    wcp_step = wc + 2 * L                     # window cols per grid step
+    # window cols per grid step: wc + 2L rounded up to the (8, 128) HBM
+    # tiling's sublane quantum (Mosaic rejects unaligned slice extents)
+    wcp_step = -(-(wc + 2 * L) // 8) * 8
+    nx = (xp.shape[1] - wcp_step + wc) // wc
     c0 = xp.shape[2]
     n_out = wbs[-2].shape[2]
+    # ping-pong intermediate buffer sized to the largest inner layer
+    max_inner = max([w.shape[2] for w in wbs[:-2:2]] or [1])
     flat = []
     for l in range(L):
         flat += [wbs[2 * l], wbs[2 * l + 1]]
     kern = partial(_chain_kernel, br=br, wc=wc, wcp=wcp_step, h=h, w=w,
-                   relus=relus)
+                   relus=relus, mask_mode=mask_mode)
 
     def body(x_hbm, *wb_and_out):
-        wb = wb_and_out[:-3]
-        out_ref, scratch, sem = wb_and_out[-3], wb_and_out[-2], \
-            wb_and_out[-1]
-        kern(x_hbm, *wb, out_ref=out_ref, scratch=scratch, sem=sem)
+        wb = wb_and_out[:-4]
+        out_ref, scratch, ybuf, sem = wb_and_out[-4:]
+        kern(x_hbm, *wb, out_ref=out_ref, scratch=scratch, ybuf=ybuf,
+             sem=sem)
 
     return pl.pallas_call(
         body,
@@ -258,17 +284,23 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret):
         out_shape=jax.ShapeDtypeStruct((hp, nx * wc, n_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, br + 2 * L, wcp_step, c0), xp.dtype),
+            pltpu.VMEM((2, br + 2 * L - 2, wcp_step - 2, max_inner),
+                       xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the chain's f32 accumulator temps overflow the default 16 MB
+            # scoped window; v5e has 128 MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, *flat)
 
 
 def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
-               out_dtype=jnp.bfloat16, interpret: bool = False
-               ) -> jnp.ndarray:
+               out_dtype=jnp.bfloat16, interpret: bool = False,
+               mask_mode: str = "full",
+               pad_inner: bool = True) -> jnp.ndarray:
     """Fused chain of SAME 3×3/1 convs with affine+ReLU epilogues.
 
     ``layers``: sequence of ``(kernel (3,3,Ci,Co), scale|None, bias|None,
@@ -284,14 +316,29 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     """
     h, w, cin = x.shape
     L = len(layers)
+    layers = [tuple(l) for l in layers]
     wbs = []
-    for (kernel, scale, bias, relu) in layers:
+    for li in range(L):
+        kernel, scale, bias, relu = layers[li]
         ci, n = kernel.shape[2], kernel.shape[3]
         kf = kernel.astype(jnp.float32)
         if scale is not None:
             kf = kf * scale.astype(jnp.float32)
         b = (jnp.zeros((n,), jnp.float32) if bias is None
              else bias.astype(jnp.float32)).reshape(1, n)
+        if pad_inner and li + 1 < L and n % 128:
+            # keep INTERMEDIATE values lane-native: sub-128-lane vectors
+            # relayout pathologically on Mosaic (measured: a 64-lane
+            # 3-conv chain runs 4.6x slower than unpadded singles). The
+            # padded output channels are zero; the next layer's matching
+            # zero input rows contribute nothing — exact math.
+            npad = -n % 128
+            kf = jnp.pad(kf, ((0, 0), (0, 0), (0, 0), (0, npad)))
+            b = jnp.pad(b, ((0, 0), (0, npad)))
+            nxt = layers[li + 1][0]
+            layers[li + 1] = (jnp.pad(nxt, ((0, 0), (0, 0), (0, npad),
+                                            (0, 0))),) + layers[li + 1][1:]
+            n += npad
         wbs += [kf.reshape(9, ci, n), b]
 
     # lane-pad the input channels (manual-DMA constraint, see conv9)
@@ -310,11 +357,13 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     wc = -(-(-(-w // nx)) // 8) * 8      # ceil(ceil(w/nx) / 8) * 8
     wp = nx * wc
     hp = h + (-h) % br
-    xp = jnp.pad(x, ((L, hp + L - h), (L, wp + L - w), (0, 0)))
+    # right slack so the last block's 8-aligned DMA window stays in bounds
+    slack = (-(wc + 2 * L)) % 8
+    xp = jnp.pad(x, ((L, hp + L - h), (L, wp + L - w + slack), (0, 0)))
     relus = tuple(bool(r) for (_, _, _, r) in layers)
     out = _chain_padded(xp, tuple(wbs), br=br, wc=wc, h=h, w=w,
                         relus=relus, out_dtype=out_dtype,
-                        interpret=interpret)
+                        interpret=interpret, mask_mode=mask_mode)
     return out[:h, :w]
 
 
