@@ -55,6 +55,15 @@ def _synthetic_level2(width: int, height: int, seed: int = 0) -> np.ndarray:
 def main():
     import jax
 
+    # persistent compile cache: the TPU relay's remote compile helper takes
+    # minutes per Pallas kernel; cache survives process restarts
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from wsiseg_tpu.config import default_config
     from wsiseg_tpu.data.wsi_tiles import plan_slide
     from wsiseg_tpu.infer.engine import DenseInferenceEngine

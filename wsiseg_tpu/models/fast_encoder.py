@@ -73,6 +73,41 @@ def supports_fast_encode(model) -> bool:
     return block_cls is BasicBlock
 
 
+def maxpool_s2d(c1: jnp.ndarray) -> jnp.ndarray:
+    """3×3/2 SAME max-pool via the s2d(2) layout (separable row/col max
+    over channel-group slices + one-cell shifts).
+
+    ``nn.max_pool(c1, (3,3), (2,2), pad (1,1))`` lowers to a reduce_window
+    that runs lane-starved at slide scale (7.8 ms for (1536, 2048, 64) on
+    v5e); in s2d space the centered window [2p-1, 2p+1] is {cell p-1 pos 1,
+    cell p pos 0, cell p pos 1} — three slices and a shift per axis. The
+    s2d transpose is shared with the decoder's skip relayout by XLA CSE
+    when both run in one jit. Exact math (max is separable)."""
+    from wsiseg_tpu.models.fast_decoder import space_to_depth
+
+    b, h, w, c = c1.shape
+    xs = space_to_depth(c1)                  # (b, h/2, w/2, 4c)
+    p00 = xs[..., 0 * c:1 * c]
+    p01 = xs[..., 1 * c:2 * c]
+    p10 = xs[..., 2 * c:3 * c]
+    p11 = xs[..., 3 * c:4 * c]
+    neg = jnp.finfo(c1.dtype).min
+
+    def shift_down_rows(a):                  # a[p] ← a[p-1], -inf at p=0
+        return jnp.concatenate(
+            [jnp.full_like(a[:, :1], neg), a[:, :-1]], axis=1)
+
+    def shift_right_cols(a):                 # a[q] ← a[q-1], -inf at q=0
+        return jnp.concatenate(
+            [jnp.full_like(a[:, :, :1], neg), a[:, :, :-1]], axis=2)
+
+    # rows: max over in-rows {2p-1, 2p, 2p+1} for each col position
+    r0 = jnp.maximum(jnp.maximum(shift_down_rows(p10), p00), p10)
+    r1 = jnp.maximum(jnp.maximum(shift_down_rows(p11), p01), p11)
+    # cols: max over in-cols {2q-1, 2q, 2q+1}
+    return jnp.maximum(jnp.maximum(shift_right_cols(r1), r0), r1)
+
+
 def _basic_block(ep, eb, xx, i, j, stride, dtype):
     p = ep[f"layer{i + 1}_{j}"]
     b = eb[f"layer{i + 1}_{j}"]
@@ -120,7 +155,8 @@ def encode_stages_fold(ep, eb, c1, stages, dtype, *, br: int = 8,
     from wsiseg_tpu.ops.conv9 import conv_chain
 
     assert c1.shape[0] == 1, "encode_stages_fold is batch-1 (FCN) only"
-    xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+    xx = maxpool_s2d(c1) if c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0 \
+        else nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
     x = xx[0]
     for j in range(stages[0]):

@@ -199,16 +199,19 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
         w9 = wb_refs[2 * l]
         bias = wb_refs[2 * l + 1]
         rows = br + 2 * (L - l) - 2           # rows after this layer
-        cols = wcp - 2 * (l + 1)              # cols after this layer
+        # col extents stay 8-ALIGNED at every layer (8-col margin instead
+        # of the exact 2): unaligned sublane extents on VMEM ref stores/
+        # loads blow up Mosaic compile time (>20 min for one kernel)
+        cols = wc + 8 * (L - l)               # output extent, 8-aligned
         cl = w9.shape[1]
         if l == 0:
             cur = scratch[k % 2]              # (br+2L, wcp, C0)
         else:
             # round-trip each layer through a VMEM ref: value-chained
-            # layers explode Mosaic's register allocation (compile >10min
+            # layers explode Mosaic register allocation (compile >10min
             # and 4.6x slower code); ref-staged layers keep the inner
             # structure identical to the fast conv9 single kernel
-            cur = ybuf[(l - 1) % 2, :rows + 2, :cols + 2, :cl]
+            cur = ybuf[(l - 1) % 2, :rows + 2, :cols + 8, :cl]
         acc = None
         for dx in range(3):
             a = cur[:, dx:dx + cols]          # (rows+2, cols, C)
@@ -254,9 +257,9 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
     L = len(relus)
     hp = xp.shape[0] - 2 * L
     ny = hp // br
-    # window cols per grid step: wc + 2L rounded up to the (8, 128) HBM
-    # tiling's sublane quantum (Mosaic rejects unaligned slice extents)
-    wcp_step = -(-(wc + 2 * L) // 8) * 8
+    # window cols per grid step: 8-col margin per layer keeps every
+    # store/load extent sublane-aligned (Mosaic compile-time cliff)
+    wcp_step = wc + 8 * L + 8
     nx = (xp.shape[1] - wcp_step + wc) // wc
     c0 = xp.shape[2]
     n_out = wbs[-2].shape[2]
@@ -284,7 +287,7 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
         out_shape=jax.ShapeDtypeStruct((hp, nx * wc, n_out), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, br + 2 * L, wcp_step, c0), xp.dtype),
-            pltpu.VMEM((2, br + 2 * L - 2, wcp_step - 2, max_inner),
+            pltpu.VMEM((2, br + 2 * L - 2, wc + 8 * L, max_inner),
                        xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -357,8 +360,8 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     wc = -(-(-(-w // nx)) // 8) * 8      # ceil(ceil(w/nx) / 8) * 8
     wp = nx * wc
     hp = h + (-h) % br
-    # right slack so the last block's 8-aligned DMA window stays in bounds
-    slack = (-(wc + 2 * L)) % 8
+    # right slack: the last block's window is wc + 8L + 8 wide
+    slack = 8 * L + 8 - 2 * L
     xp = jnp.pad(x, ((L, hp + L - h), (L, wp + L - w + slack), (0, 0)))
     relus = tuple(bool(r) for (_, _, _, r) in layers)
     out = _chain_padded(xp, tuple(wbs), br=br, wc=wc, h=h, w=w,
