@@ -116,6 +116,10 @@ def parse_eval_flags(argv):
                    help="ScanNet-style FCN mode (each pixel computed once)")
     p.add_argument("--sharded", action="store_true",
                    help="shard each slide's tile stream over all devices")
+    p.add_argument("--streamed", action="store_true",
+                   help="host-streamed tile decode (level-0/1 scans too "
+                        "big for an HBM-resident level image); combines "
+                        "with --sharded into the row-sharded canvas path")
     ns, rest = p.parse_known_args(argv)
     return ns, rest
 

@@ -18,7 +18,8 @@ from wsiseg_tpu.infer.evaluators import predict_wsis
 from wsiseg_tpu.train.state import TrainState
 
 
-def _eval(cfg: Config, fcn: bool = False, sharded: bool = False) -> dict:
+def _eval(cfg: Config, fcn: bool = False, sharded: bool = False,
+          streamed: bool = False) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg)
     from wsiseg_tpu.cli.common import make_eval_mesh
@@ -28,14 +29,15 @@ def _eval(cfg: Config, fcn: bool = False, sharded: bool = False) -> dict:
         collection = SlideCollection(src, cfg)
         if len(collection):
             results.update(predict_wsis(engine, collection, epoch, fcn=fcn,
-                                        mesh=mesh))
+                                        mesh=mesh, streamed=streamed))
     return results
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
     from wsiseg_tpu.cli.common import parse_eval_flags
     ns, rest = parse_eval_flags(argv)
-    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
+    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded,
+          streamed=ns.streamed)
 
 
 if __name__ == "__main__":

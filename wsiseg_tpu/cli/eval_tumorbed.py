@@ -15,19 +15,20 @@ from wsiseg_tpu.infer.evaluators import predict_tumorbed
 
 
 def _eval(cfg: Config, mode: str = "seg", fcn: bool = False,
-          sharded: bool = False) -> dict:
+          sharded: bool = False, streamed: bool = False) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg, mode=mode)
     collection = SlideCollection(cfg.raw_val_pth, cfg)
     from wsiseg_tpu.cli.common import make_eval_mesh
     mesh = make_eval_mesh(cfg) if sharded else None
-    return predict_tumorbed(engine, collection, epoch, fcn=fcn, mesh=mesh)
+    return predict_tumorbed(engine, collection, epoch, fcn=fcn, mesh=mesh, streamed=streamed)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
     from wsiseg_tpu.cli.common import parse_eval_flags
     ns, rest = parse_eval_flags(argv)
-    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded)
+    _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded,
+          streamed=ns.streamed)
 
 
 if __name__ == "__main__":

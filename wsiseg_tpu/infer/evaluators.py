@@ -55,16 +55,28 @@ def _load_gt_artifacts(plan, shape_hw):
 
 def _pipelined_results(engine: DenseInferenceEngine,
                        collection: SlideCollection, fcn: bool,
-                       mesh=None):
+                       mesh=None, streamed: bool = False):
     """Iterate (name, plan, result): slide k+1's level image uploads while
     slide k computes (jax async dispatch overlaps transfer with compute —
     the multi-slide production pattern; the reference processes slides
     strictly serially, utils/eval.py:174-177). With ``mesh`` each slide's
-    tile stream is sharded across the device mesh instead."""
+    tile stream is sharded across the device mesh instead; ``streamed``
+    decodes tile batches on the host (level-0/1 scans too big for an
+    HBM-resident level image), combining with ``mesh`` into the
+    streamed×row-sharded path."""
     if mesh is not None and fcn:
         raise ValueError("fcn and mesh (sharded) are mutually exclusive: "
                          "sharded inference runs grid mode only")
+    if streamed and fcn:
+        raise ValueError("fcn and streamed are mutually exclusive")
     items = list(collection.items())
+    if streamed:
+        for name, plan in items:
+            res = (engine.predict_slide_streamed_sharded(plan, mesh)
+                   if mesh is not None
+                   else engine.predict_slide_streamed(plan))
+            yield name, plan, res
+        return
     if mesh is not None:
         for name, plan in items:
             yield name, plan, engine.predict_slide_sharded(plan, mesh)
@@ -87,7 +99,7 @@ def _pipelined_results(engine: DenseInferenceEngine,
 
 
 def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
-                 ep, fcn: bool = False, mesh=None,
+                 ep, fcn: bool = False, mesh=None, streamed: bool = False,
                  log: Callable = print) -> Dict:
     """Per-slide dense prediction, tumor-bed extraction, metric report and
     color-mask artifact. Returns {slide: metrics dict} plus '_mean_tb_iou'."""
@@ -95,7 +107,8 @@ def predict_wsis(engine: DenseInferenceEngine, collection: SlideCollection,
     results = {}
     ious_tb = []
     for name, plan, res in _pipelined_results(engine, collection, fcn,
-                                               mesh=mesh):
+                                               mesh=mesh,
+                                               streamed=streamed):
         h2w2 = plan.canvas_hw
         tb_filled, tb_perim = extract_tumor_bed(res.labels)
         gts = _load_gt_artifacts(plan, h2w2)
@@ -145,13 +158,14 @@ def plan_mask_resized(plan, hw) -> np.ndarray:
 
 def predict_tumorbed(engine: DenseInferenceEngine,
                      collection: SlideCollection, ep,
-                     fcn: bool = False, mesh=None,
+                     fcn: bool = False, mesh=None, streamed: bool = False,
                      log: Callable = print) -> Dict:
     """Heatmap + overlay artifact generation (utils/eval.py:155-286)."""
     cfg = engine.cfg
     results = {}
     for name, plan, res in _pipelined_results(engine, collection, fcn,
-                                               mesh=mesh):
+                                               mesh=mesh,
+                                               streamed=streamed):
         heat_pth = writers.save_heatmap(cfg, ep, name, res.heatmap)
         wsi2 = plan.slide.read_level(2)
         overlay_pth = writers.save_overlay(cfg, ep, name, wsi2, res.heatmap)
