@@ -79,10 +79,25 @@ def stem_geometry(h_out: int, w_out: int):
 def _stem_kernel(img_hbm, w_ref, b_ref, out_ref, scratch, patches, sem):
     i = pl.program_id(0)
     rows = 2 * _BR + 5
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * 2 * _BR, rows)], scratch, sem)
-    dma.start()
-    dma.wait()
+
+    # double-buffered input pipeline: start step i+1's window DMA before
+    # computing step i (the serial start→wait→compute version left the
+    # DMA engine idle during the 8 row matmuls)
+    def dma(step, slot):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(step * 2 * _BR, rows)], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    scratch = scratch.at[i % 2]
 
     w = w_ref[:].astype(jnp.bfloat16)            # (224, 64)
     bias = b_ref[:]                              # (1, 64)
@@ -145,9 +160,9 @@ def stem_conv(img6: jnp.ndarray, w147: jnp.ndarray, bias: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h_pad, w_out, 64), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2 * _BR + 5, 8, img6.shape[2]), jnp.uint8),
+            pltpu.VMEM((2, 2 * _BR + 5, 8, img6.shape[2]), jnp.uint8),
             pltpu.VMEM((224, img6.shape[2]), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(img6, w224, bias.astype(jnp.float32))
