@@ -71,3 +71,23 @@ def test_conv_chain_single_layer_equals_conv9():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_conv_chain_edges_mask_exact():
+    """Gated edge-strip masking ("edges") equals the value-mask path on a
+    geometry that allows it (h % br == 0, power-of-two split of w)."""
+    rng = np.random.RandomState(3)
+    h, w = 16, 272
+    chans = [8, 16, 8]
+    x = _mk(rng, h, w, chans[0]).astype(jnp.bfloat16)
+    layers = []
+    for ci, co in zip(chans[:-1], chans[1:]):
+        layers.append((_mk(rng, 3, 3, ci, co) * 0.2, None,
+                       _mk(rng, co), True))
+    full = conv_chain(x, layers, br=8, wc=136, mask_mode="full",
+                      interpret=True)
+    edges = conv_chain(x, layers, br=8, wc=136, mask_mode="edges",
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(edges, np.float32),
+                               np.asarray(full, np.float32),
+                               atol=1e-2, rtol=1e-2)
