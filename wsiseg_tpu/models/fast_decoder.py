@@ -218,16 +218,21 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     xx = feats[0].astype(dtype)
     skips = list(feats[1:]) + [None]
 
-    # blocks 0, 1: deep stages, standard XLA lowering is fine there
+    # blocks 0, 1: deep stages in native layout — XLA upsample+concat
+    # (cheap at these dims), the conv pair as one fused chain
     for i in (0, 1):
         blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
         xx = upsample2x(xx)
         if skips[i] is not None:
             xx = jnp.concatenate([xx, skips[i].astype(dtype)], axis=-1)
-        for cj in (1, 2):
-            y = _conv(xx, blk_p[f"conv{cj}"]["kernel"].astype(dtype))
-            s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
-            xx = jax.nn.relu(y * s + t).astype(dtype)
+        s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
+        s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
+        xx = _run_layers(
+            xx[0].astype(dtype),
+            [(blk_p["conv1"]["kernel"], s1, t1, True),
+             (blk_p["conv2"]["kernel"], s2, t2, True)],
+            br=br, wc=min(wc, 128), use_chain=use_chain,
+            interpret=interpret)[None]
 
     def _affine(blk_p, blk_b, cj):
         s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])

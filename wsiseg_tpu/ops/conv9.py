@@ -331,7 +331,7 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
     )(xp, *flat)
 
 
-def _edges_wc(w: int, lo: int = 136, hi: int = 480):
+def _edges_wc(w: int, lo: int = 128, hi: int = 480):
     """Power-of-two split of ``w`` into equal 8-aligned blocks in
     [lo, hi] (wc must divide w for the gated edge-mask stores; block
     widths ≥ ~512 hit a Mosaic compile-time cliff)."""
