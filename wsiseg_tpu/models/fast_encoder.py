@@ -108,16 +108,27 @@ def maxpool_s2d(c1: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(shift_right_cols(r1), r0), r1)
 
 
+def _in_pad(kernel, c):
+    """Zero-extend a conv kernel's input channels to match a lane-padded
+    activation (padded channels are zero → exact math)."""
+    ci = kernel.shape[2]
+    if c > ci:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, c - ci), (0, 0)))
+    return kernel
+
+
 def _basic_block(ep, eb, xx, i, j, stride, dtype):
     p = ep[f"layer{i + 1}_{j}"]
     b = eb[f"layer{i + 1}_{j}"]
     identity = xx
-    y = _conv(xx, p["conv1"]["kernel"].astype(dtype), stride)
+    y = _conv(xx, _in_pad(p["conv1"]["kernel"],
+                          xx.shape[-1]).astype(dtype), stride)
     y = _bn_relu(y, p["bn1"], b["bn1"]).astype(dtype)
     y = _conv(y, p["conv2"]["kernel"].astype(dtype))
     y = _bn_relu(y, p["bn2"], b["bn2"], relu=False)
     if "down_conv" in p:
-        identity = _conv(xx, p["down_conv"]["kernel"].astype(dtype),
+        identity = _conv(xx, _in_pad(p["down_conv"]["kernel"],
+                                     xx.shape[-1]).astype(dtype),
                          stride, padding=((0, 0), (0, 0)))
         identity = _bn_relu(identity, p["down_bn"], b["down_bn"],
                             relu=False)
@@ -159,6 +170,10 @@ def encode_stages_fold(ep, eb, c1, stages, dtype, *, br: int = 8,
         else nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
     x = xx[0]
+    # lane-pad ONCE; the chains consume and emit 128-padded activations
+    # (pad_out + kernel input zero-extension), so no per-chain pad
+    # materialization; deeper layers' first convs zero-extend instead
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, -x.shape[-1] % 128)))
     for j in range(stages[0]):
         p, b = ep[f"layer1_{j}"], eb[f"layer1_{j}"]
         s1, t1 = _bn_affine(p["bn1"], b["bn1"])
@@ -166,11 +181,14 @@ def encode_stages_fold(ep, eb, c1, stages, dtype, *, br: int = 8,
         y = conv_chain(x, [(p["conv1"]["kernel"], s1, t1, True),
                            (p["conv2"]["kernel"], s2, t2, False)],
                        br=br, wc=wc, out_dtype=jnp.float32,
-                       interpret=interpret)
+                       pad_out=True, interpret=interpret)
         x = jax.nn.relu(y + x.astype(jnp.float32)).astype(dtype)
     xx = x[None]
 
-    feats = [xx]
+    # the c2 skip must carry the true channel count; layer 2 consumes the
+    # padded activation directly (its first convs zero-extend via _in_pad)
+    c_true = ep["layer1_0"]["conv2"]["kernel"].shape[3]
+    feats = [xx[..., :c_true]]
     for i, n_blocks in enumerate(stages):
         if i == 0:
             continue

@@ -345,8 +345,8 @@ def _edges_wc(w: int, lo: int = 128, hi: int = 480):
 
 def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
                out_dtype=jnp.bfloat16, interpret: bool = False,
-               mask_mode: str = "auto",
-               pad_inner: bool = True) -> jnp.ndarray:
+               mask_mode: str = "auto", pad_inner: bool = True,
+               pad_out: bool = False) -> jnp.ndarray:
     """Fused chain of SAME 3×3/1 convs with affine+ReLU epilogues.
 
     ``layers``: sequence of ``(kernel (3,3,Ci,Co), scale|None, bias|None,
@@ -367,6 +367,14 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     """
     h, w, cin = x.shape
     L = len(layers)
+    ci0 = layers[0][0].shape[2]
+    if cin > ci0:
+        # caller passes a lane-padded input (e.g. a chain that emitted
+        # pad_out=True); zero-extend the first kernel's input channels
+        layers = [tuple(l) for l in layers]
+        layers[0] = (jnp.pad(layers[0][0],
+                             ((0, 0), (0, 0), (0, cin - ci0), (0, 0))),
+                     ) + tuple(layers[0][1:])
     if mask_mode == "auto":
         wce = _edges_wc(w)
         if L == 1:
@@ -390,7 +398,8 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
             kf = kf * scale.astype(jnp.float32)
         b = (jnp.zeros((n,), jnp.float32) if bias is None
              else bias.astype(jnp.float32)).reshape(1, n)
-        if pad_inner and li + 1 < L and n % 128:
+        if (pad_inner and li + 1 < L and n % 128) or \
+                (pad_out and li + 1 == L and n % 128):
             # keep INTERMEDIATE values lane-native: sub-128-lane vectors
             # relayout pathologically on Mosaic (measured: a 64-lane
             # 3-conv chain runs 4.6x slower than unpadded singles). The
@@ -399,9 +408,11 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
             npad = -n % 128
             kf = jnp.pad(kf, ((0, 0), (0, 0), (0, 0), (0, npad)))
             b = jnp.pad(b, ((0, 0), (0, npad)))
-            nxt = layers[li + 1][0]
-            layers[li + 1] = (jnp.pad(nxt, ((0, 0), (0, 0), (0, npad),
-                                            (0, 0))),) + layers[li + 1][1:]
+            if li + 1 < L:
+                nxt = layers[li + 1][0]
+                layers[li + 1] = (jnp.pad(nxt, ((0, 0), (0, 0), (0, npad),
+                                                (0, 0))),
+                                  ) + layers[li + 1][1:]
             n += npad
         wbs += [kf.reshape(9, ci, n), b]
 
