@@ -86,6 +86,9 @@ class DenseInferenceEngine:
         self._fcn_full = jax.jit(self._fcn_full_pass,
                                  static_argnames=("chunk_h", "chunk_w", "halo", "ny", "nx"))
         self._post = jax.jit(self._postprocess, static_argnames=("out_hw",))
+        self._post_s2d = jax.jit(self._postprocess_s2d,
+                                 static_argnames=("hs", "ws", "keep_probs",
+                                                  "keep_canvas"))
         # jit once here, not per call: each retrace costs a full remote
         # compile (ADVICE.md round-1 medium finding)
         self._streamed_step = jax.jit(self._streamed_batch,
@@ -217,6 +220,51 @@ class DenseInferenceEngine:
         (lane-aligned half-width)."""
         return h + (-h) % 32, w + (-w) % 256
 
+    def _postprocess_s2d(self, y_p, mask_u8, *, hs: int, ws: int,
+                         keep_probs: bool = False,
+                         keep_canvas: bool = False):
+        """Postprocess PLANAR s2d logits (4·nc, H/2, W/2) f32 — softmax/
+        threshold run full-lane over position planes (channel groups are
+        OUTER-dim slices, free), and the expensive depth_to_space of the
+        f32 canvas (23 ms at slide scale) never happens: only the u8
+        artifacts are interleaved back to full resolution."""
+        cfg = self.cfg
+        nc = cfg.num_classes
+        h2, w2 = y_p.shape[1:]
+        y = y_p.reshape(2, 2, nc, h2, w2)
+        m = jnp.max(y, axis=2, keepdims=True)
+        e = jnp.exp(y - m)
+        p = e / jnp.sum(e, axis=2, keepdims=True)
+        floors = jnp.asarray(cfg.class_probs, p.dtype)
+        p = jnp.where(p < floors[None, None, :, None, None], 0.0, p)
+        labels4 = jnp.argmax(p, axis=2).astype(jnp.uint8)
+        heat4 = p[:, :, 1] if self.mode == "cls" else \
+            p[:, :, 2] + p[:, :, 3]
+
+        def interleave(v):                    # (2, 2, H2, W2) → (H, W)
+            return jnp.transpose(v, (2, 0, 3, 1)
+                                 ).reshape(2 * h2, 2 * w2)
+
+        labels = interleave(labels4)[:hs, :ws]
+        heat = interleave(heat4)[:hs, :ws] * (mask_u8 > 0)
+        heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0,
+                           255).astype(jnp.uint8)
+        probs = canvas = None
+        if keep_probs:
+            probs = jnp.transpose(p, (3, 0, 4, 1, 2)
+                                  ).reshape(2 * h2, 2 * w2, nc)[:hs, :ws]
+        if keep_canvas:
+            canvas = jnp.transpose(y, (3, 0, 4, 1, 2)
+                                   ).reshape(2 * h2, 2 * w2, nc)[:hs, :ws]
+        return labels, probs, heat_u8, canvas
+
+    def _fcn_planar_ok(self, plan: SlidePlan) -> bool:
+        """Planar-s2d head applies when no canvas rescale is needed
+        (stitch dims == canvas dims, i.e. scan_level == 2 semantics)."""
+        return (tuple(plan.stitch_hw) == tuple(plan.canvas_hw)
+                and self.mode == "seg"
+                and getattr(self, "fcn_planar", True))
+
     def _predict_fcn_fast(self, plan: SlidePlan, keep_canvas, keep_probs,
                           img=None):
         from wsiseg_tpu.models.infer_fast import segment_whole_image
@@ -230,11 +278,28 @@ class DenseInferenceEngine:
         if (hp, wp) != img.shape[:2]:
             img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                          constant_values=255)
+        fold = getattr(self, "fcn_fold", hp % 32 == 0)
+        interp = getattr(self, "fcn_fast_interpret", False)
+        if fold and self._fcn_planar_ok(plan):
+            y_p = segment_whole_image(
+                self.model, self.variables, img, cfg.dataset_mean,
+                cfg.dataset_std, interpret=interp, fold=True,
+                planar_head=True)
+            h2, w2 = plan.canvas_hw
+            mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
+            labels, probs, heat_u8, canvas = self._post_s2d(
+                y_p, mask, hs=hs, ws=ws, keep_probs=keep_probs,
+                keep_canvas=keep_canvas)
+            labels, heat_u8 = jax.block_until_ready((labels, heat_u8))
+            heat = np.asarray(heat_u8).astype(np.float32) / 255.0
+            return SlideResult(
+                plan.name, np.asarray(labels), heat, len(plan.grid),
+                time.time() - t0,
+                probs=np.asarray(probs) if keep_probs else None,
+                canvas=np.asarray(canvas) if keep_canvas else None)
         canvas = segment_whole_image(
             self.model, self.variables, img, cfg.dataset_mean,
-            cfg.dataset_std,
-            interpret=getattr(self, "fcn_fast_interpret", False),
-            fold=getattr(self, "fcn_fold", hp % 32 == 0))[:hs, :ws]
+            cfg.dataset_std, interpret=interp, fold=fold)[:hs, :ws]
         return self._finish(plan, canvas, len(plan.grid), t0,
                             keep_canvas, keep_probs)
 
@@ -792,15 +857,24 @@ class DenseInferenceEngine:
                 img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                              constant_values=255)
             packed = jnp.asarray(pack_for_stem(img, cfg.dataset_mean))
+            fold = getattr(self, "fcn_fold", hp % 32 == 0)
+            interp = getattr(self, "fcn_fast_interpret", False)
 
-            def run():
-                cv = _segment_packed(
-                    self.variables, packed, tuple(cfg.dataset_mean),
-                    tuple(cfg.dataset_std), arch=self.model.arch,
-                    h=hp, w=wp,
-                    interpret=getattr(self, "fcn_fast_interpret", False),
-                    fold=getattr(self, "fcn_fold", hp % 32 == 0))[:hs, :ws]
-                return self._post(cv, mask, out_hw=(h2, w2))
+            if fold and self._fcn_planar_ok(plan):
+                def run():
+                    y_p = _segment_packed(
+                        self.variables, packed, tuple(cfg.dataset_mean),
+                        tuple(cfg.dataset_std), arch=self.model.arch,
+                        h=hp, w=wp, interpret=interp, fold=True,
+                        planar_head=True)
+                    return self._post_s2d(y_p, mask, hs=hs, ws=ws)[:3]
+            else:
+                def run():
+                    cv = _segment_packed(
+                        self.variables, packed, tuple(cfg.dataset_mean),
+                        tuple(cfg.dataset_std), arch=self.model.arch,
+                        h=hp, w=wp, interpret=interp, fold=fold)[:hs, :ws]
+                    return self._post(cv, mask, out_hw=(h2, w2))
         elif mode == "fcn":
             h, w = img.shape[:2]
             ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)

@@ -200,7 +200,8 @@ def decode_fast(variables, feats, dtype):
 
 
 def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
-                use_chain: bool = True, interpret: bool = False):
+                use_chain: bool = True, planar_head: bool = False,
+                interpret: bool = False):
     """U-Net decoder forward with blocks 2–4 + head as fused Pallas
     conv-chain kernels in the s2d(2) domain (:func:`wsiseg_tpu.ops.conv9.
     conv_chain`): per block ONE input-window DMA, both convs (three for
@@ -269,6 +270,15 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     head = dp["seg_head"]
     kh = s2d_kernel(head["kernel"])
     bh = _tile4(head["bias"].astype(jnp.float32))
+    if planar_head and use_chain:
+        # emit (4·nc, H/2, W/2) planar s2d logits straight from the chain
+        # (in-kernel transpose): the XLA depth_to_space of the f32 head
+        # costs 23 ms at slide scale (4-lane layout, 35 GB/s)
+        return conv_chain(xd.astype(dtype),
+                          [(k1, s1, t1, True), (k2, s2, t2, True),
+                           (kh, None, bh, False)],
+                          br=br, wc=wc, out_dtype=jnp.float32,
+                          planar_out=True, interpret=interpret)
     y = _run_layers(xd.astype(dtype),
                     [(k1, s1, t1, True), (k2, s2, t2, True),
                      (kh, None, bh, False)],

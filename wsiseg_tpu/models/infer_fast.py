@@ -58,10 +58,12 @@ def pack_for_stem(img_u8: np.ndarray, mean) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(hin, wc, 6).transpose(0, 2, 1))
 
 
-@partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold"))
+@partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold",
+                                   "planar_head"))
 def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                     *, arch: str, h: int, w: int,
-                    interpret: bool = False, fold: bool = False):
+                    interpret: bool = False, fold: bool = False,
+                    planar_head: bool = False):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[arch]
@@ -79,6 +81,10 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
     if fold and h % 32 == 0 and w % 32 == 0:
         feats = encode_stages_fold(ep, eb, c1, stages, jnp.bfloat16,
                                    interpret=interpret)
+        if planar_head:
+            # (4·nc, h/2, w/2) planar s2d logits (no depth_to_space)
+            return decode_fold(variables, feats, jnp.bfloat16,
+                               planar_head=True, interpret=interpret)
         return decode_fold(variables, feats, jnp.bfloat16,
                            interpret=interpret)[0]
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
@@ -88,7 +94,8 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
 def segment_whole_image(model, variables, img_u8: np.ndarray,
                         dataset_mean, dataset_std,
                         interpret: bool = False,
-                        fold: bool = False) -> jnp.ndarray:
+                        fold: bool = False,
+                        planar_head: bool = False) -> jnp.ndarray:
     """Dense segmentation logits for one (H, W, 3) uint8 image (H, W even,
     W/2 lane-aligned). Returns (H, W, num_classes) float32 on device.
     ``fold=True`` routes layer 1 + decoder blocks 2-4 through the fused
@@ -98,4 +105,4 @@ def segment_whole_image(model, variables, img_u8: np.ndarray,
     return _segment_packed(variables, jnp.asarray(packed),
                            tuple(dataset_mean), tuple(dataset_std),
                            arch=model.arch, h=h, w=w, interpret=interpret,
-                           fold=fold)
+                           fold=fold, planar_head=planar_head)

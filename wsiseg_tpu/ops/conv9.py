@@ -164,7 +164,7 @@ def conv9(x: jnp.ndarray, kernel: jnp.ndarray,
 
 def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
                   h: int, w: int, relus, sem, scratch, ybuf, out_ref,
-                  mask_mode: str = "full"):
+                  mask_mode: str = "full", planar_out: bool = False):
     """Fused L-layer 3×3 conv chain: one input window DMA, all
     intermediates VMEM-resident, one output write.
 
@@ -278,13 +278,18 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
             # "none": skip (INEXACT at image borders; measurement only)
             ybuf[l % 2, :rows, :cols, :y.shape[-1]] = \
                 y.astype(ybuf.dtype)
-    out_ref[:] = y[:, :wc].astype(out_ref.dtype)
+    if planar_out:                           # (C, br, wc) output layout
+        out_ref[:] = jnp.transpose(y[:, :wc], (2, 0, 1)
+                                   ).astype(out_ref.dtype)
+    else:
+        out_ref[:] = y[:, :wc].astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("br", "wc", "h", "w", "relus",
-                                   "out_dtype", "interpret", "mask_mode"))
+                                   "out_dtype", "interpret", "mask_mode",
+                                   "planar_out"))
 def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
-                  mask_mode="full"):
+                  mask_mode="full", planar_out=False):
     L = len(relus)
     hp = xp.shape[0] - 2 * L
     ny = hp // br
@@ -300,7 +305,7 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
     for l in range(L):
         flat += [wbs[2 * l], wbs[2 * l + 1]]
     kern = partial(_chain_kernel, br=br, wc=wc, wcp=wcp_step, h=h, w=w,
-                   relus=relus, mask_mode=mask_mode)
+                   relus=relus, mask_mode=mask_mode, planar_out=planar_out)
 
     def body(x_hbm, *wb_and_out):
         wb = wb_and_out[:-4]
@@ -313,9 +318,14 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
         grid=(ny, nx),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L),
-        out_specs=pl.BlockSpec((br, wc, n_out), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, nx * wc, n_out), out_dtype),
+        out_specs=(pl.BlockSpec((n_out, br, wc), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM) if planar_out
+                   else pl.BlockSpec((br, wc, n_out),
+                                     lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, hp, nx * wc) if planar_out else (hp, nx * wc, n_out),
+            out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, br + 2 * L, wcp_step, c0), xp.dtype),
             pltpu.VMEM((2, br + 2 * L - 2, wc + 8 * L, max_inner),
@@ -346,7 +356,8 @@ def _edges_wc(w: int, lo: int = 128, hi: int = 480):
 def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
                out_dtype=jnp.bfloat16, interpret: bool = False,
                mask_mode: str = "auto", pad_inner: bool = True,
-               pad_out: bool = False) -> jnp.ndarray:
+               pad_out: bool = False,
+               planar_out: bool = False) -> jnp.ndarray:
     """Fused chain of SAME 3×3/1 convs with affine+ReLU epilogues.
 
     ``layers``: sequence of ``(kernel (3,3,Ci,Co), scale|None, bias|None,
@@ -438,7 +449,10 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     relus = tuple(bool(r) for (_, _, _, r) in layers)
     out = _chain_padded(xp, tuple(wbs), br=br, wc=wc, h=h, w=w,
                         relus=relus, out_dtype=out_dtype,
-                        interpret=interpret, mask_mode=mask_mode)
+                        interpret=interpret, mask_mode=mask_mode,
+                        planar_out=planar_out)
+    if planar_out:
+        return out[:, :h, :w]                # (C, H, W)
     return out[:h, :w]
 
 
