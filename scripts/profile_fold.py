@@ -96,6 +96,17 @@ def main():
           lambda p: _segment_packed(variables, p, mean, std,
                                     arch=model.arch, h=H, w=W,
                                     fold=True), packed)
+    bench("FULL fold=True planar head",
+          lambda p: _segment_packed(variables, p, mean, std,
+                                    arch=model.arch, h=H, w=W, fold=True,
+                                    planar_head=True), packed)
+    bench("decode_fold singles planar",
+          jax.jit(lambda f: decode_fold(variables, f, jnp.bfloat16,
+                                        use_chain=False,
+                                        planar_head=True)), feats)
+    bench("decode_fold chain planar",
+          jax.jit(lambda f: decode_fold(variables, f, jnp.bfloat16,
+                                        planar_head=True)), feats)
     print("done", flush=True)
 
 

@@ -270,15 +270,23 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     head = dp["seg_head"]
     kh = s2d_kernel(head["kernel"])
     bh = _tile4(head["bias"].astype(jnp.float32))
-    if planar_head and use_chain:
+    if planar_head:
         # emit (4·nc, H/2, W/2) planar s2d logits straight from the chain
         # (in-kernel transpose): the XLA depth_to_space of the f32 head
         # costs 23 ms at slide scale (4-lane layout, 35 GB/s)
-        return conv_chain(xd.astype(dtype),
-                          [(k1, s1, t1, True), (k2, s2, t2, True),
-                           (kh, None, bh, False)],
-                          br=br, wc=wc, out_dtype=jnp.float32,
-                          planar_out=True, interpret=interpret)
+        if use_chain:
+            return conv_chain(xd.astype(dtype),
+                              [(k1, s1, t1, True), (k2, s2, t2, True),
+                               (kh, None, bh, False)],
+                              br=br, wc=wc, out_dtype=jnp.float32,
+                              planar_out=True, interpret=interpret)
+        z = _run_layers(xd.astype(dtype),
+                        [(k1, s1, t1, True), (k2, s2, t2, True)],
+                        br=br, wc=wc, use_chain=False,
+                        interpret=interpret)
+        return conv_chain(z, [(kh, None, bh, False)], br=br, wc=wc,
+                          out_dtype=jnp.float32, planar_out=True,
+                          interpret=interpret)
     y = _run_layers(xd.astype(dtype),
                     [(k1, s1, t1, True), (k2, s2, t2, True),
                      (kh, None, bh, False)],

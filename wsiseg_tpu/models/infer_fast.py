@@ -59,11 +59,13 @@ def pack_for_stem(img_u8: np.ndarray, mean) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold",
-                                   "planar_head"))
+                                   "planar_head", "fold_encoder",
+                                   "use_chain"))
 def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                     *, arch: str, h: int, w: int,
                     interpret: bool = False, fold: bool = False,
-                    planar_head: bool = False):
+                    planar_head: bool = False, fold_encoder: bool = False,
+                    use_chain: bool = True):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[arch]
@@ -79,14 +81,20 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                    interpret=interpret)[: h // 2][None]  # (1, H/2, W/2, 64)
 
     if fold and h % 32 == 0 and w % 32 == 0:
-        feats = encode_stages_fold(ep, eb, c1, stages, jnp.bfloat16,
-                                   interpret=interpret)
+        if fold_encoder:
+            feats = encode_stages_fold(ep, eb, c1, stages, jnp.bfloat16,
+                                       interpret=interpret)
+        else:
+            # measured: the fold encoder loses to XLA at slide scale
+            # (36.5 vs 24.6 ms) — chains win in the decoder only
+            feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
         if planar_head:
             # (4·nc, h/2, w/2) planar s2d logits (no depth_to_space)
             return decode_fold(variables, feats, jnp.bfloat16,
-                               planar_head=True, interpret=interpret)
+                               planar_head=True, use_chain=use_chain,
+                               interpret=interpret)
         return decode_fold(variables, feats, jnp.bfloat16,
-                           interpret=interpret)[0]
+                           use_chain=use_chain, interpret=interpret)[0]
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
     return decode_fast(variables, feats, jnp.bfloat16)[0]
 

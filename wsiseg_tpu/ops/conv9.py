@@ -162,7 +162,7 @@ def conv9(x: jnp.ndarray, kernel: jnp.ndarray,
     return out[:h, :w]
 
 
-def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
+def _chain_kernel(x_hbm, cmask_ref, *wb_refs, br: int, wc: int, wcp: int,
                   h: int, w: int, relus, sem, scratch, ybuf, out_ref,
                   mask_mode: str = "full", planar_out: bool = False):
     """Fused L-layer 3×3 conv chain: one input window DMA, all
@@ -231,36 +231,41 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
             d = L - l - 1
             r0 = i * br - d
             c0 = j * wc - d
-            if mask_mode == "edges":
-                # gated edge-strip stores: iota/where value masking costs
-                # a CONSTANT ~130 ms per kernel call and a 25-250x compile
-                # blowup (exp_chain4: 136 -> 7.4 ms, 121 s -> 5 s compile)
-                # — interior blocks must pay nothing. Preconditions
-                # (h % br == 0, wc | w) are enforced by the wrapper.
+            if mask_mode in ("edges", "rows", "cm"):
+                # out-of-image COLS: multiply by a precomputed 0/1 mask
+                # vector slice (aligned extent, outer-dim broadcast only —
+                # iota/where value masks cost a constant ~130 ms/call and
+                # a 25-250x compile blowup; sub-8 gated col stores hit the
+                # same compile cliff). Out-of-image ROWS: gated stores
+                # with full-width (aligned) extents — the row dim is the
+                # untiled outer dim, so any extent is fine.
                 cl_o = y.shape[-1]
+                if mask_mode in ("edges", "cm"):
+                    # per-layer pre-shifted masks: the slice start j*wc
+                    # is provably 8-aligned (wc is a multiple of 8)
+                    cm = cmask_ref[l, pl.ds(j * wc, cols), :cl_o]
+                    y = y * cm[None]
                 ybuf[l % 2, :rows, :cols, :cl_o] = y.astype(ybuf.dtype)
-                ny = pl.num_programs(0)
-                nx_ = pl.num_programs(1)
+                if mask_mode in ("edges", "rows"):
+                    ny = pl.num_programs(0)
+                    hp = ny * br
+                    # top strip: frame rows [0, d) are absolute rows < 0
+                    @pl.when(i == 0)
+                    def _():
+                        ybuf[l % 2, 0:d, :cols, :cl_o] = jnp.zeros(
+                            (d, cols, cl_o), ybuf.dtype)
 
-                @pl.when(i == 0)
-                def _():
-                    ybuf[l % 2, 0:d, :cols, :cl_o] = jnp.zeros(
-                        (d, cols, cl_o), ybuf.dtype)
+                    # bottom strips: absolute rows >= h (any h % br)
+                    for blk, over in ((ny - 1, hp - h + d),
+                                      (ny - 2, hp - h + d - br)):
+                        k0 = rows - over
+                        if over <= 0 or blk < 0 or k0 < 0:
+                            continue
 
-                @pl.when(i == ny - 1)
-                def _():
-                    ybuf[l % 2, rows - d:rows, :cols, :cl_o] = jnp.zeros(
-                        (d, cols, cl_o), ybuf.dtype)
-
-                @pl.when(j == 0)
-                def _():
-                    ybuf[l % 2, :rows, 0:d, :cl_o] = jnp.zeros(
-                        (rows, d, cl_o), ybuf.dtype)
-
-                @pl.when(j == nx_ - 1)
-                def _():
-                    ybuf[l % 2, :rows, wc + d:cols, :cl_o] = jnp.zeros(
-                        (rows, cols - wc - d, cl_o), ybuf.dtype)
+                        @pl.when(i == blk)
+                        def _(k0=k0, over=over):
+                            ybuf[l % 2, k0:k0 + over, :cols, :cl_o] = \
+                                jnp.zeros((over, cols, cl_o), ybuf.dtype)
                 continue
             if mask_mode == "full":
                 sh = (rows, cols, y.shape[-1])
@@ -288,8 +293,8 @@ def _chain_kernel(x_hbm, *wb_refs, br: int, wc: int, wcp: int,
 @partial(jax.jit, static_argnames=("br", "wc", "h", "w", "relus",
                                    "out_dtype", "interpret", "mask_mode",
                                    "planar_out"))
-def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
-                  mask_mode="full", planar_out=False):
+def _chain_padded(xp, cmask, wbs, *, br, wc, h, w, relus, out_dtype,
+                  interpret, mask_mode="full", planar_out=False):
     L = len(relus)
     hp = xp.shape[0] - 2 * L
     ny = hp // br
@@ -307,16 +312,17 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
     kern = partial(_chain_kernel, br=br, wc=wc, wcp=wcp_step, h=h, w=w,
                    relus=relus, mask_mode=mask_mode, planar_out=planar_out)
 
-    def body(x_hbm, *wb_and_out):
+    def body(x_hbm, cmask_ref, *wb_and_out):
         wb = wb_and_out[:-4]
         out_ref, scratch, ybuf, sem = wb_and_out[-4:]
-        kern(x_hbm, *wb, out_ref=out_ref, scratch=scratch, ybuf=ybuf,
-             sem=sem)
+        kern(x_hbm, cmask_ref, *wb, out_ref=out_ref, scratch=scratch,
+             ybuf=ybuf, sem=sem)
 
     return pl.pallas_call(
         body,
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]    # col mask
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L),
         out_specs=(pl.BlockSpec((n_out, br, wc), lambda i, j: (0, i, j),
                                 memory_space=pltpu.VMEM) if planar_out
@@ -338,7 +344,7 @@ def _chain_padded(xp, wbs, *, br, wc, h, w, relus, out_dtype, interpret,
             # scoped window; v5e has 128 MB physical VMEM
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, *flat)
+    )(xp, cmask, *flat)
 
 
 def _edges_wc(w: int, lo: int = 128, hi: int = 480):
@@ -387,18 +393,12 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
                              ((0, 0), (0, 0), (0, cin - ci0), (0, 0))),
                      ) + tuple(layers[0][1:])
     if mask_mode == "auto":
-        wce = _edges_wc(w)
-        if L == 1:
-            mask_mode = "none"               # no inner layers: no masking
-        elif h % br == 0 and wce is not None:
-            mask_mode = "edges"
-            wc = wce
-        else:
-            mask_mode = "full"
-    elif mask_mode == "edges":
-        wce = _edges_wc(w)
-        assert h % br == 0 and wce is not None, (h, w, br)
-        wc = wce
+        # edges mode has no geometric preconditions (rows handled by
+        # gated full-width stores incl. h % br != 0 overhang; cols by the
+        # mask-vector multiply); L == 1 needs no masking at all
+        mask_mode = "none" if L == 1 else "edges"
+    wc = min(wc, 320)                        # block widths ≥ ~512 hit a
+    #                                          Mosaic compile-time cliff
     layers = [tuple(l) for l in layers]
     wbs = []
     for li in range(L):
@@ -439,15 +439,32 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     # choose nx to minimize right padding (wc is a TARGET block width:
     # e.g. w=544 with wc=512 becomes 2 blocks of 272, not 2×512 with 47%
     # pad), then pad spatially: L-deep halo top/left, (align+L) bottom/right
-    nx = -(-w // wc)
-    wc = -(-(-(-w // nx)) // 8) * 8      # ceil(ceil(w/nx) / 8) * 8
+    if planar_out:
+        # planar blocks are (C, br, wc): the trailing dims must divide
+        # (8, 128), so wc is a 128-multiple
+        wc = 256 if w >= 256 else 128
+        nx = -(-w // wc)
+    else:
+        nx = -(-w // wc)
+        wc = -(-(-(-w // nx)) // 8) * 8  # ceil(ceil(w/nx) / 8) * 8
     wp = nx * wc
     hp = h + (-h) % br
     # right slack: the last block's window is wc + 8L + 8 wide
     slack = 8 * L + 8 - 2 * L
     xp = jnp.pad(x, ((L, hp + L - h), (L, wp + L - w + slack), (0, 0)))
     relus = tuple(bool(r) for (_, _, _, r) in layers)
-    out = _chain_padded(xp, tuple(wbs), br=br, wc=wc, h=h, w=w,
+    # per-inner-layer 0/1 column masks for the edges-mode in-kernel
+    # multiply, PRE-SHIFTED so the kernel slices at the provably-aligned
+    # offset j*wc: mask l row r covers frame col t = r at xp col
+    # j*wc + (l+1) + t, i.e. absolute col r + l + 1 - L
+    cmax = max([wb.shape[2] for wb in wbs[:-2:2]] or [128])
+    nmask = max(L - 1, 1)
+    cmask = np.zeros((nmask, xp.shape[1], max(cmax, 128)), np.float32)
+    for l in range(nmask):
+        lo = max(0, L - l - 1)
+        cmask[l, lo:lo + w] = 1.0
+    cmask = jnp.asarray(cmask, jnp.bfloat16)
+    out = _chain_padded(xp, cmask, tuple(wbs), br=br, wc=wc, h=h, w=w,
                         relus=relus, out_dtype=out_dtype,
                         interpret=interpret, mask_mode=mask_mode,
                         planar_out=planar_out)
