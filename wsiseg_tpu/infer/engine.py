@@ -220,17 +220,19 @@ class DenseInferenceEngine:
         (lane-aligned half-width)."""
         return h + (-h) % 32, w + (-w) % 256
 
-    def _postprocess_s2d(self, y_p, mask_u8, *, hs: int, ws: int,
+    def _postprocess_s2d(self, y_s, mask_u8, *, hs: int, ws: int,
                          keep_probs: bool = False,
                          keep_canvas: bool = False):
-        """Postprocess PLANAR s2d logits (4·nc, H/2, W/2) f32 — softmax/
-        threshold run full-lane over position planes (channel groups are
-        OUTER-dim slices, free), and the expensive depth_to_space of the
-        f32 canvas (23 ms at slide scale) never happens: only the u8
-        artifacts are interleaved back to full resolution."""
+        """Postprocess s2d-layout logits (H/2, W/2, 4·nc) f32: ONE planar
+        transpose, then softmax/threshold run full-lane over position
+        planes (channel groups are OUTER-dim slices, free). The expensive
+        depth_to_space of the f32 canvas (23 ms at slide scale, 4-lane
+        layout) never happens: only the u8 artifacts are interleaved back
+        to full resolution."""
         cfg = self.cfg
         nc = cfg.num_classes
-        h2, w2 = y_p.shape[1:]
+        h2, w2 = y_s.shape[:2]
+        y_p = jnp.transpose(y_s, (2, 0, 1))
         y = y_p.reshape(2, 2, nc, h2, w2)
         m = jnp.max(y, axis=2, keepdims=True)
         e = jnp.exp(y - m)

@@ -271,22 +271,16 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     kh = s2d_kernel(head["kernel"])
     bh = _tile4(head["bias"].astype(jnp.float32))
     if planar_head:
-        # emit (4·nc, H/2, W/2) planar s2d logits straight from the chain
-        # (in-kernel transpose): the XLA depth_to_space of the f32 head
-        # costs 23 ms at slide scale (4-lane layout, 35 GB/s)
-        if use_chain:
-            return conv_chain(xd.astype(dtype),
-                              [(k1, s1, t1, True), (k2, s2, t2, True),
-                               (kh, None, bh, False)],
-                              br=br, wc=wc, out_dtype=jnp.float32,
-                              planar_out=True, interpret=interpret)
-        z = _run_layers(xd.astype(dtype),
-                        [(k1, s1, t1, True), (k2, s2, t2, True)],
-                        br=br, wc=wc, use_chain=False,
-                        interpret=interpret)
-        return conv_chain(z, [(kh, None, bh, False)], br=br, wc=wc,
-                          out_dtype=jnp.float32, planar_out=True,
-                          interpret=interpret)
+        # emit (H/2, W/2, 4·nc) s2d logits WITHOUT the depth_to_space —
+        # that transpose costs 23 ms at slide scale (4-lane f32 layout,
+        # 35 GB/s); the engine postprocesses in s2d space instead. (A
+        # planar in-kernel transpose variant exists in conv_chain but
+        # its Mosaic compile never terminated — not used.)
+        return _run_layers(xd.astype(dtype),
+                           [(k1, s1, t1, True), (k2, s2, t2, True),
+                            (kh, None, bh, False)],
+                           br=br, wc=wc, out_dtype=jnp.float32,
+                           use_chain=use_chain, interpret=interpret)
     y = _run_layers(xd.astype(dtype),
                     [(k1, s1, t1, True), (k2, s2, t2, True),
                      (kh, None, bh, False)],

@@ -65,7 +65,7 @@ def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                     *, arch: str, h: int, w: int,
                     interpret: bool = False, fold: bool = False,
                     planar_head: bool = False, fold_encoder: bool = False,
-                    use_chain: bool = True):
+                    use_chain: bool = False):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[arch]
