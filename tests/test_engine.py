@@ -161,6 +161,7 @@ def test_fcn_fast_whole_image_path(cfg, slide, model_and_vars):
     engine = DenseInferenceEngine(model, variables, cfg)
     assert not engine._fcn_fast_ok()          # CPU: off by default
     engine.fcn_fast_interpret = True
+    engine.fcn_fold = True        # fold decoder is opt-in (compile cost)
     assert engine._fcn_fast_ok()
 
     fast_res = engine.predict_slide_fcn(plan)             # fast path

@@ -280,7 +280,13 @@ class DenseInferenceEngine:
         if (hp, wp) != img.shape[:2]:
             img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                          constant_values=255)
-        fold = getattr(self, "fcn_fold", hp % 32 == 0)
+        # fold (fused Pallas conv-chain/conv9 decoder) is opt-in: the
+        # remote compile helper takes ~2-3 min PER Pallas kernel, so the
+        # multi-kernel fold graph costs 30+ min of first-compile — too
+        # slow for multi-slide cold starts until the compile cache is
+        # warm. Set engine.fcn_fold = True to enable (CPU interpret tests
+        # always exercise it).
+        fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
         interp = getattr(self, "fcn_fast_interpret", False)
         if fold and self._fcn_planar_ok(plan):
             y_p = segment_whole_image(
@@ -859,7 +865,7 @@ class DenseInferenceEngine:
                 img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                              constant_values=255)
             packed = jnp.asarray(pack_for_stem(img, cfg.dataset_mean))
-            fold = getattr(self, "fcn_fold", hp % 32 == 0)
+            fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
             interp = getattr(self, "fcn_fast_interpret", False)
 
             if fold and self._fcn_planar_ok(plan):
