@@ -858,28 +858,27 @@ class DenseInferenceEngine:
         mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
 
         if mode == "fcn" and chunk is None and self._fcn_fast_ok():
-            from wsiseg_tpu.models.infer_fast import (_segment_packed,
-                                                      pack_for_stem)
+            from wsiseg_tpu.models.infer_fast import _segment_raw
             hp, wp = self._fcn_fast_dims(hs, ws)
             if (hp, wp) != img.shape[:2]:
                 img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                              constant_values=255)
-            packed = jnp.asarray(pack_for_stem(img, cfg.dataset_mean))
+            img_d = jnp.asarray(img)           # raw upload; pack on device
             fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
             interp = getattr(self, "fcn_fast_interpret", False)
 
             if fold and self._fcn_planar_ok(plan):
                 def run():
-                    y_p = _segment_packed(
-                        self.variables, packed, tuple(cfg.dataset_mean),
+                    y_p = _segment_raw(
+                        self.variables, img_d, tuple(cfg.dataset_mean),
                         tuple(cfg.dataset_std), arch=self.model.arch,
                         h=hp, w=wp, interpret=interp, fold=True,
                         planar_head=True)
                     return self._post_s2d(y_p, mask, hs=hs, ws=ws)[:3]
             else:
                 def run():
-                    cv = _segment_packed(
-                        self.variables, packed, tuple(cfg.dataset_mean),
+                    cv = _segment_raw(
+                        self.variables, img_d, tuple(cfg.dataset_mean),
                         tuple(cfg.dataset_std), arch=self.model.arch,
                         h=hp, w=wp, interpret=interp, fold=fold)[:hs, :ws]
                     return self._post(cv, mask, out_hw=(h2, w2))
