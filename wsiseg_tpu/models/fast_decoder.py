@@ -161,8 +161,11 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
-def decode_fast(variables, feats, dtype):
-    """U-Net decoder forward with the s2d tail, from an encoder pyramid."""
+def decode_fast(variables, feats, dtype, s2d_head: bool = False):
+    """U-Net decoder forward with the s2d tail, from an encoder pyramid.
+    ``s2d_head=True`` returns the head logits in (B, H/2, W/2, 4·nc) s2d
+    layout without the final depth_to_space (23 ms at slide scale — the
+    engine postprocesses in s2d space instead)."""
     dp = variables["params"]["decoder"]
     db = variables["batch_stats"]["decoder"]
 
@@ -196,6 +199,8 @@ def decode_fast(variables, feats, dtype):
     head = dp["seg_head"]
     kh = s2d_kernel(head["kernel"]).astype(dtype)
     y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
+    if s2d_head:
+        return y.astype(jnp.float32)
     return depth_to_space(y).astype(jnp.float32)
 
 

@@ -143,6 +143,9 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
         return decode_fold(variables, feats, jnp.bfloat16,
                            use_chain=use_chain, interpret=interpret)[0]
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
+    if planar_head:
+        return decode_fast(variables, feats, jnp.bfloat16,
+                           s2d_head=True)[0]
     return decode_fast(variables, feats, jnp.bfloat16)[0]
 
 
