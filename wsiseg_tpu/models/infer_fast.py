@@ -2,7 +2,7 @@
 
 The FCN fast path for single-chunk slides (the default engine geometry,
 ``DenseInferenceEngine.predict_slide_fcn(chunk=None)``): the uint8 level
-image is packed host-side for the fused Pallas stem
+image is uploaded raw and packed ON DEVICE for the fused Pallas stem
 (:mod:`wsiseg_tpu.ops.pallas_stem` — normalize+7×7/2 conv+BN+ReLU at ~2.7×
 XLA's conv lowering), then the remaining encoder stages and the s2d-tail
 decoder run as one functional jit from the SAME trained variables.

@@ -23,6 +23,16 @@ output — the only HBM traffic is x once (+row halo), w once, out once.
 Capability twin of the reference's decoder convs (smp Unet blocks,
 reference train.py:29); used by ``models/fast_decoder`` for the dense
 whole-slide inference tail.
+
+Round-2 measured notes (v5e, see CLAUDE.md for the full cliff list):
+``conv_chain`` reaches 48-78 TFLOP/s on the decoder-tail stage groups
+with mask_mode="none"; every in-kernel border-masking variant tried
+(iota/where, gated strip stores, mask-vector multiplies) triggers a
+Mosaic compile-time/runtime cliff, and the remote compile helper costs
+minutes per kernel — so the chains ship opt-in behind
+``DenseInferenceEngine.fcn_fold`` while the default dense path stays on
+the XLA s2d tail. The diagnostic mask modes ("rows"/"cm"/"bcast1") are
+kept for future bisection.
 """
 
 from __future__ import annotations
