@@ -224,40 +224,48 @@ class DenseInferenceEngine:
                          keep_probs: bool = False,
                          keep_canvas: bool = False):
         """Postprocess s2d-layout logits (H/2, W/2, 4·nc) f32: ONE planar
-        transpose, then softmax/threshold run full-lane over position
-        planes (channel groups are OUTER-dim slices, free). The expensive
-        depth_to_space of the f32 canvas (23 ms at slide scale, 4-lane
-        layout) never happens: only the u8 artifacts are interleaved back
-        to full resolution."""
+        transpose, then per-position softmax/threshold with class groups
+        as OUTER-dim slices (full-lane VPU; no 5-D reshapes — XLA lays
+        those out with a size-2 lane dim, a 64× padding blowup that OOMs
+        HBM). Only u8 artifacts are interleaved back to full res."""
         cfg = self.cfg
         nc = cfg.num_classes
         h2, w2 = y_s.shape[:2]
-        y_p = jnp.transpose(y_s, (2, 0, 1))
-        y = y_p.reshape(2, 2, nc, h2, w2)
-        m = jnp.max(y, axis=2, keepdims=True)
-        e = jnp.exp(y - m)
-        p = e / jnp.sum(e, axis=2, keepdims=True)
-        floors = jnp.asarray(cfg.class_probs, p.dtype)
-        p = jnp.where(p < floors[None, None, :, None, None], 0.0, p)
-        labels4 = jnp.argmax(p, axis=2).astype(jnp.uint8)
-        heat4 = p[:, :, 1] if self.mode == "cls" else \
-            p[:, :, 2] + p[:, :, 3]
+        y_p = jnp.transpose(y_s, (2, 0, 1))       # (4·nc, H2, W2)
+        floors = jnp.asarray(cfg.class_probs, jnp.float32)
 
-        def interleave(v):                    # (2, 2, H2, W2) → (H, W)
-            return jnp.transpose(v, (2, 0, 3, 1)
-                                 ).reshape(2 * h2, 2 * w2)
+        labels4, heat4, probs4 = [], [], []
+        for pos in range(4):
+            g = y_p[pos * nc:(pos + 1) * nc]      # (nc, H2, W2), nc outer
+            m = jnp.max(g, axis=0)
+            e = jnp.exp(g - m)
+            pr = e / jnp.sum(e, axis=0)
+            pr = jnp.where(pr < floors[:, None, None], 0.0, pr)
+            labels4.append(jnp.argmax(pr, axis=0).astype(jnp.uint8))
+            heat4.append(pr[1] if self.mode == "cls" else pr[2] + pr[3])
+            if keep_probs:
+                probs4.append(pr)
 
-        labels = interleave(labels4)[:hs, :ws]
-        heat = interleave(heat4)[:hs, :ws] * (mask_u8 > 0)
+        def interleave(p00, p01, p10, p11):       # 4×(H2, W2) → (H, W)
+            out = jnp.zeros((2 * h2, 2 * w2), p00.dtype)
+            out = out.at[0::2, 0::2].set(p00)
+            out = out.at[0::2, 1::2].set(p01)
+            out = out.at[1::2, 0::2].set(p10)
+            return out.at[1::2, 1::2].set(p11)
+
+        labels = interleave(*labels4)[:hs, :ws]
+        heat = interleave(*heat4)[:hs, :ws] * (mask_u8 > 0)
         heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0,
                            255).astype(jnp.uint8)
         probs = canvas = None
         if keep_probs:
-            probs = jnp.transpose(p, (3, 0, 4, 1, 2)
-                                  ).reshape(2 * h2, 2 * w2, nc)[:hs, :ws]
+            probs = jnp.stack(
+                [interleave(*[probs4[pos][c] for pos in range(4)])
+                 for c in range(nc)], axis=-1)[:hs, :ws]
         if keep_canvas:
-            canvas = jnp.transpose(y, (3, 0, 4, 1, 2)
-                                   ).reshape(2 * h2, 2 * w2, nc)[:hs, :ws]
+            canvas = jnp.stack(
+                [interleave(*[y_p[pos * nc + c] for pos in range(4)])
+                 for c in range(nc)], axis=-1)[:hs, :ws]
         return labels, probs, heat_u8, canvas
 
     def _fcn_planar_ok(self, plan: SlidePlan) -> bool:
