@@ -87,7 +87,7 @@ class DenseInferenceEngine:
                                  static_argnames=("chunk_h", "chunk_w", "halo", "ny", "nx"))
         self._post = jax.jit(self._postprocess, static_argnames=("out_hw",))
         self._post_s2d = jax.jit(self._postprocess_s2d,
-                                 static_argnames=("hs", "ws", "keep_probs",
+                                 static_argnames=("keep_probs",
                                                   "keep_canvas"))
         # jit once here, not per call: each retrace costs a full remote
         # compile (ADVICE.md round-1 medium finding)
@@ -220,21 +220,23 @@ class DenseInferenceEngine:
         (lane-aligned half-width)."""
         return h + (-h) % 32, w + (-w) % 256
 
-    def _postprocess_s2d(self, y_s, mask_u8, *, hs: int, ws: int,
-                         keep_probs: bool = False,
+    def _postprocess_s2d(self, y_s, mask2_u8, *, keep_probs: bool = False,
                          keep_canvas: bool = False):
-        """Postprocess s2d-layout logits (H/2, W/2, 4·nc) f32: ONE planar
-        transpose, then per-position softmax/threshold with class groups
-        as OUTER-dim slices (full-lane VPU; no 5-D reshapes — XLA lays
-        those out with a size-2 lane dim, a 64× padding blowup that OOMs
-        HBM). Only u8 artifacts are interleaved back to full res."""
+        """Postprocess s2d-layout logits (H/2, W/2, 4·nc) f32 on device:
+        ONE planar transpose, then per-position softmax/threshold with
+        class groups as OUTER-dim slices (full-lane VPU). No small-dim-
+        tiled intermediates: 5-D reshapes OOM 30 GB from 64× tile padding
+        and strided scatter interleaves cost ~110 ms — instead the u8
+        label/heat artifacts come back as PER-POSITION planes stacked on
+        the outer dim and the engine interleaves them on the host (12 MB
+        of numpy). ``mask2_u8`` is the tissue mask at half resolution
+        (it comes from a level-6 thumbnail, so nothing is lost)."""
         cfg = self.cfg
         nc = cfg.num_classes
-        h2, w2 = y_s.shape[:2]
         y_p = jnp.transpose(y_s, (2, 0, 1))       # (4·nc, H2, W2)
         floors = jnp.asarray(cfg.class_probs, jnp.float32)
 
-        labels4, heat4, probs4 = [], [], []
+        labels4, heat4 = [], []
         for pos in range(4):
             g = y_p[pos * nc:(pos + 1) * nc]      # (nc, H2, W2), nc outer
             m = jnp.max(g, axis=0)
@@ -242,31 +244,38 @@ class DenseInferenceEngine:
             pr = e / jnp.sum(e, axis=0)
             pr = jnp.where(pr < floors[:, None, None], 0.0, pr)
             labels4.append(jnp.argmax(pr, axis=0).astype(jnp.uint8))
-            heat4.append(pr[1] if self.mode == "cls" else pr[2] + pr[3])
-            if keep_probs:
-                probs4.append(pr)
+            heat = pr[1] if self.mode == "cls" else pr[2] + pr[3]
+            heat = heat * (mask2_u8 > 0)
+            heat4.append(jnp.clip(jnp.round(heat * 255.0), 0,
+                                  255).astype(jnp.uint8))
 
-        def interleave(p00, p01, p10, p11):       # 4×(H2, W2) → (H, W)
-            out = jnp.zeros((2 * h2, 2 * w2), p00.dtype)
-            out = out.at[0::2, 0::2].set(p00)
-            out = out.at[0::2, 1::2].set(p01)
-            out = out.at[1::2, 0::2].set(p10)
-            return out.at[1::2, 1::2].set(p11)
+        labels4 = jnp.stack(labels4)              # (4, H2, W2) u8
+        heat4 = jnp.stack(heat4)
+        extras = y_p if (keep_probs or keep_canvas) else None
+        return labels4, heat4, extras
 
-        labels = interleave(*labels4)[:hs, :ws]
-        heat = interleave(*heat4)[:hs, :ws] * (mask_u8 > 0)
-        heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0,
-                           255).astype(jnp.uint8)
-        probs = canvas = None
-        if keep_probs:
-            probs = jnp.stack(
-                [interleave(*[probs4[pos][c] for pos in range(4)])
-                 for c in range(nc)], axis=-1)[:hs, :ws]
-        if keep_canvas:
-            canvas = jnp.stack(
-                [interleave(*[y_p[pos * nc + c] for pos in range(4)])
-                 for c in range(nc)], axis=-1)[:hs, :ws]
-        return labels, probs, heat_u8, canvas
+    def _half_mask(self, plan: SlidePlan, hw2_padded) -> jnp.ndarray:
+        """Tissue mask at s2d half resolution: resized over the TRUE
+        stitch extent, zero-padded to the padded half dims (a straight
+        resize to padded dims would stretch the mask by the pad ratio)."""
+        hs, ws = plan.stitch_hw
+        m = self._resize_mask_to(plan.mask, ((hs + 1) // 2,
+                                             (ws + 1) // 2))
+        hp2, wp2 = hw2_padded
+        return jnp.asarray(np.pad(m, ((0, hp2 - m.shape[0]),
+                                      (0, wp2 - m.shape[1]))))
+
+    @staticmethod
+    def _interleave4(planes: np.ndarray, hs: int, ws: int) -> np.ndarray:
+        """(4, H2, W2) position planes → (hs, ws) full-res (host numpy).
+        Position order matches the s2d packing (α·2+β)."""
+        _, h2, w2 = planes.shape
+        out = np.empty((2 * h2, 2 * w2), planes.dtype)
+        out[0::2, 0::2] = planes[0]
+        out[0::2, 1::2] = planes[1]
+        out[1::2, 0::2] = planes[2]
+        out[1::2, 1::2] = planes[3]
+        return out[:hs, :ws]
 
     def _fcn_planar_ok(self, plan: SlidePlan) -> bool:
         """Planar-s2d head applies when no canvas rescale is needed
@@ -297,22 +306,36 @@ class DenseInferenceEngine:
         fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
         interp = getattr(self, "fcn_fast_interpret", False)
         if self._fcn_planar_ok(plan):
-            y_p = segment_whole_image(
+            y_s = segment_whole_image(
                 self.model, self.variables, img, cfg.dataset_mean,
                 cfg.dataset_std, interpret=interp, fold=fold,
                 planar_head=True)
-            h2, w2 = plan.canvas_hw
-            mask = jnp.asarray(self._resize_mask_to(plan.mask, (h2, w2)))
-            labels, probs, heat_u8, canvas = self._post_s2d(
-                y_p, mask, hs=hs, ws=ws, keep_probs=keep_probs,
+            mask2 = self._half_mask(plan, y_s.shape[:2])
+            labels4, heat4, extras = self._post_s2d(
+                y_s, mask2, keep_probs=keep_probs,
                 keep_canvas=keep_canvas)
-            labels, heat_u8 = jax.block_until_ready((labels, heat_u8))
-            heat = np.asarray(heat_u8).astype(np.float32) / 255.0
+            labels4, heat4 = jax.block_until_ready((labels4, heat4))
+            labels = self._interleave4(np.asarray(labels4), hs, ws)
+            heat = self._interleave4(np.asarray(heat4), hs,
+                                     ws).astype(np.float32) / 255.0
+            probs = canvas = None
+            if extras is not None:
+                yp = np.asarray(extras)           # (4*nc, H2, W2)
+                nc = cfg.num_classes
+                full = np.stack(
+                    [self._interleave4(
+                        np.stack([yp[pos * nc + c] for pos in range(4)]),
+                        hs, ws) for c in range(nc)], axis=-1)
+                if keep_canvas:
+                    canvas = full
+                if keep_probs:
+                    ex = np.exp(full - full.max(-1, keepdims=True))
+                    pr = ex / ex.sum(-1, keepdims=True)
+                    fl = np.asarray(cfg.class_probs, np.float32)
+                    probs = np.where(pr < fl, 0.0, pr)
             return SlideResult(
-                plan.name, np.asarray(labels), heat, len(plan.grid),
-                time.time() - t0,
-                probs=np.asarray(probs) if keep_probs else None,
-                canvas=np.asarray(canvas) if keep_canvas else None)
+                plan.name, labels, heat, len(plan.grid),
+                time.time() - t0, probs=probs, canvas=canvas)
         canvas = segment_whole_image(
             self.model, self.variables, img, cfg.dataset_mean,
             cfg.dataset_std, interpret=interp, fold=fold)[:hs, :ws]
@@ -880,13 +903,16 @@ class DenseInferenceEngine:
             interp = getattr(self, "fcn_fast_interpret", False)
 
             if self._fcn_planar_ok(plan):
+                mask2 = self._half_mask(plan, ((hp + 1) // 2,
+                                               (wp + 1) // 2))
+
                 def run():
-                    y_p = _segment_packed(
+                    y_s = _segment_packed(
                         self.variables, packed, tuple(cfg.dataset_mean),
                         tuple(cfg.dataset_std), arch=self.model.arch,
                         h=hp, w=wp, interpret=interp, fold=fold,
                         planar_head=True)
-                    return self._post_s2d(y_p, mask, hs=hs, ws=ws)[:3]
+                    return self._post_s2d(y_s, mask2)[:2]
             else:
                 def run():
                     cv = _segment_packed(
