@@ -101,9 +101,12 @@ def main():
     grid_dev = engine.device_throughput(plan, mode="grid",
                                         iters=3 if on_tpu else 1)
 
-    # end-to-end single-slide timings (include relay transfers)
+    # end-to-end single-slide timings (include relay transfers; steady
+    # state — the raw-input graph differs from the HBM-resident one, so
+    # warm it first or the timing measures a remote compile)
     e2e_grid = engine.predict_slide(plan)
     try:
+        engine.predict_slide_fcn(plan, halo=128)          # warm
         e2e_fcn = engine.predict_slide_fcn(plan, halo=128)
         fcn_e2e_pps, fcn_e2e_sec = e2e_fcn.patches_per_sec, e2e_fcn.seconds
     except Exception:
