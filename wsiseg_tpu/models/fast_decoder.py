@@ -172,11 +172,14 @@ def decode_fast(variables, feats, dtype, s2d_head: bool = False):
     xx = feats[0].astype(dtype)
     skips = list(feats[1:]) + [None]
 
-    # blocks 0..3 standard (deep stages: XLA conv is fine there)
+    # blocks 0..3 standard (deep stages: XLA conv is fine there);
+    # nearest 2x via broadcast — resize's gather lowering is slow at
+    # slide scale (see upsample2x docstring). NOTE: splitting conv1 of
+    # the up+skip concat into two summed convs was measured 3% SLOWER
+    # (XLA fuses the concat into the conv input already).
     for i in range(4):
         blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
-        b_, h_, w_, c_ = xx.shape
-        xx = jax.image.resize(xx, (b_, 2 * h_, 2 * w_, c_), "nearest")
+        xx = upsample2x(xx)
         skip = skips[i]
         if skip is not None:
             xx = jnp.concatenate([xx, skip.astype(dtype)], axis=-1)
@@ -185,16 +188,18 @@ def decode_fast(variables, feats, dtype, s2d_head: bool = False):
             s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
             xx = jax.nn.relu(y * s + t).astype(dtype)
 
-    # block4 + seg head in s2d domain: upsample2x → channel tile;
-    # convs → s2d kernels at half resolution
+    # block4 + seg head in s2d domain at half resolution: conv1's 2x
+    # upsample folds into its kernel (upfold_kernel — the explicit
+    # s2d(upsample2x(x)) channel tile materializes 4x the input bytes)
     blk_p, blk_b = dp["block4"], db["block4"]
-    xs = jnp.tile(xx, (1, 1, 1, 4))          # s2d(upsample2x(x))
-
-    for cj in (1, 2):
-        k = s2d_kernel(blk_p[f"conv{cj}"]["kernel"]).astype(dtype)
-        y = _conv(xs, k)
-        s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
-        xs = jax.nn.relu(y * _tile4(s) + _tile4(t)).astype(dtype)
+    k1 = upfold_kernel(blk_p["conv1"]["kernel"]).astype(dtype)
+    y = _conv(xx, k1)
+    s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
+    xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
+    k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
+    y = _conv(xs, k2)
+    s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
+    xs = jax.nn.relu(y * _tile4(s2) + _tile4(t2)).astype(dtype)
 
     head = dp["seg_head"]
     kh = s2d_kernel(head["kernel"]).astype(dtype)
