@@ -73,3 +73,12 @@ def test_maxpool_s2d_matches_reduce_window(rng):
     ref = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
     got = maxpool_s2d(x)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_maxpool_strided_matches_reduce_window(rng):
+    import flax.linen as nn
+    from wsiseg_tpu.models.fast_encoder import maxpool_strided
+    x = jnp.asarray(rng.randn(2, 16, 24, 5).astype(np.float32))
+    ref = nn.max_pool(x, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+    np.testing.assert_array_equal(np.asarray(ref),
+                                  np.asarray(maxpool_strided(x)))

@@ -108,6 +108,23 @@ def maxpool_s2d(c1: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(shift_right_cols(r1), r0), r1)
 
 
+def maxpool_strided(x: jnp.ndarray) -> jnp.ndarray:
+    """3×3/2 SAME max-pool as strided shifted maxes: rows are the
+    untiled outer dim (free strided slices), cols pay three strided
+    sublane slices — vs reduce_window's lane-starved lowering at slide
+    scale. Exact math (max is separable). (B, H, W, C), H and W even."""
+    b, h, w, c = x.shape
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                 constant_values=neg)
+    rm = jnp.maximum(jnp.maximum(xp[:, 0:h:2], xp[:, 1:h + 1:2]),
+                     xp[:, 2:h + 2:2])            # (b, h/2, w, c)
+    rp = jnp.pad(rm, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                 constant_values=neg)
+    return jnp.maximum(jnp.maximum(rp[:, :, 0:w:2], rp[:, :, 1:w + 1:2]),
+                       rp[:, :, 2:w + 2:2])
+
+
 def _in_pad(kernel, c):
     """Zero-extend a conv kernel's input channels to match a lane-padded
     activation (padded channels are zero → exact math)."""
@@ -138,7 +155,10 @@ def _basic_block(ep, eb, xx, i, j, stride, dtype):
 def encode_stages(ep, eb, c1, stages, dtype):
     """Functional inference forward of the four ResNet stages, starting
     from the stem output ``c1``. Returns [c5, c4, c3, c2, c1]."""
-    xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+    if c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0:
+        xx = maxpool_strided(c1)
+    else:
+        xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
     feats = []
     for i, n_blocks in enumerate(stages):
