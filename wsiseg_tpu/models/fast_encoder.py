@@ -111,8 +111,10 @@ def maxpool_s2d(c1: jnp.ndarray) -> jnp.ndarray:
 def maxpool_strided(x: jnp.ndarray) -> jnp.ndarray:
     """3×3/2 SAME max-pool as strided shifted maxes: rows are the
     untiled outer dim (free strided slices), cols pay three strided
-    sublane slices — vs reduce_window's lane-starved lowering at slide
-    scale. Exact math (max is separable). (B, H, W, C), H and W even."""
+    sublane slices. MEASURED NEGATIVE on v5e: grid 1446 -> 950 p/s and
+    FCN 6829 -> 6343 (the strided sublane slices relayout worse than
+    reduce_window); kept equality-tested as a documented experiment.
+    (B, H, W, C), H and W even."""
     b, h, w, c = x.shape
     neg = jnp.finfo(x.dtype).min
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)),
@@ -155,10 +157,7 @@ def _basic_block(ep, eb, xx, i, j, stride, dtype):
 def encode_stages(ep, eb, c1, stages, dtype):
     """Functional inference forward of the four ResNet stages, starting
     from the stem output ``c1``. Returns [c5, c4, c3, c2, c1]."""
-    if c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0:
-        xx = maxpool_strided(c1)
-    else:
-        xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+    xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
     feats = []
     for i, n_blocks in enumerate(stages):

@@ -118,14 +118,7 @@ class ResNetEncoder(nn.Module):
         x = norm(name="stem_bn")(x)
         c1 = nn.relu(x)                                  # /2, 64ch
 
-        if c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0:
-            # exact twin of nn.max_pool with strided shifted maxes —
-            # reduce_window lowers lane-starved at slide/batch scale
-            # (fast_encoder.maxpool_strided, equality-tested)
-            from wsiseg_tpu.models.fast_encoder import maxpool_strided
-            x = maxpool_strided(c1)
-        else:
-            x = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
+        x = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
 
         feats = []
         filters = (64, 128, 256, 512)
