@@ -187,3 +187,27 @@ def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     core = cnt >= 4
     agree = (grid_res.labels[core] == fcn_res.labels[core]).mean()
     assert agree > 0.85, f"FCN/grid agreement too low: {agree}"
+
+
+def test_postprocess_s2d_matches_threshold_probs(cfg, model_and_vars, rng):
+    """The s2d-space postprocess (per-position planes + host interleave)
+    equals threshold_probs on the depth_to_space'd logits."""
+    from wsiseg_tpu.models.fast_decoder import depth_to_space
+    from wsiseg_tpu.ops.threshold import threshold_probs
+
+    model, variables = model_and_vars
+    engine = DenseInferenceEngine(model, variables, cfg)
+    h2, w2, nc = 16, 24, cfg.num_classes
+    y_s = jnp.asarray(rng.randn(h2, w2, 4 * nc).astype(np.float32))
+    mask2 = jnp.ones((h2, w2), jnp.uint8)
+    labels4, heat4, _ = engine._post_s2d(y_s, mask2)
+    hs, ws = 2 * h2, 2 * w2
+    labels = engine._interleave4(np.asarray(labels4), hs, ws)
+    heat = engine._interleave4(np.asarray(heat4), hs,
+                               ws).astype(np.float32) / 255.0
+
+    full = depth_to_space(y_s[None])[0]           # (2h2, 2w2, nc)
+    ref_labels, ref_probs = threshold_probs(full, cfg.class_probs)
+    np.testing.assert_array_equal(labels, np.asarray(ref_labels))
+    ref_heat = np.asarray(ref_probs[..., 2] + ref_probs[..., 3])
+    np.testing.assert_allclose(heat, ref_heat, atol=1.0 / 255 + 1e-6)
