@@ -211,3 +211,12 @@ def test_postprocess_s2d_matches_threshold_probs(cfg, model_and_vars, rng):
     np.testing.assert_array_equal(labels, np.asarray(ref_labels))
     ref_heat = np.asarray(ref_probs[..., 2] + ref_probs[..., 3])
     np.testing.assert_allclose(heat, ref_heat, atol=1.0 / 255 + 1e-6)
+
+    # keep_canvas reconstruction equals the d2s'd logits exactly
+    _, _, extras = engine._post_s2d(y_s, mask2, keep_canvas=True)
+    yp = np.asarray(extras)
+    canvas = np.stack(
+        [engine._interleave4(
+            np.stack([yp[pos * nc + c] for pos in range(4)]), hs, ws)
+         for c in range(nc)], axis=-1)
+    np.testing.assert_allclose(canvas, np.asarray(full), atol=1e-6)
