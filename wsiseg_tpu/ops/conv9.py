@@ -357,18 +357,6 @@ def _chain_padded(xp, cmask, wbs, *, br, wc, h, w, relus, out_dtype,
     )(xp, cmask, *flat)
 
 
-def _edges_wc(w: int, lo: int = 128, hi: int = 480):
-    """Power-of-two split of ``w`` into equal 8-aligned blocks in
-    [lo, hi] (wc must divide w for the gated edge-mask stores; block
-    widths ≥ ~512 hit a Mosaic compile-time cliff)."""
-    wc = w
-    while wc > hi and wc % 2 == 0:
-        wc //= 2
-    if lo <= wc <= hi and wc % 8 == 0:
-        return wc
-    return None
-
-
 def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
                out_dtype=jnp.bfloat16, interpret: bool = False,
                mask_mode: str = "auto", pad_inner: bool = True,
