@@ -91,3 +91,19 @@ def test_conv_chain_edges_mask_exact():
     np.testing.assert_allclose(np.asarray(edges, np.float32),
                                np.asarray(full, np.float32),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_conv_chain_planar_out():
+    """planar_out=True returns (C, H, W) == transpose of the NHWC result
+    (interpret mode; the TPU lowering of the in-kernel transpose is a
+    documented compile-time negative — see the module docstring)."""
+    rng = np.random.RandomState(4)
+    x = _mk(rng, 16, 256, 8).astype(jnp.bfloat16)
+    layers = [(_mk(rng, 3, 3, 8, 8) * 0.2, None, _mk(rng, 8), True)]
+    nhwc = conv_chain(x, layers, br=8, wc=128, interpret=True)
+    planar = conv_chain(x, layers, br=8, wc=128, planar_out=True,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(planar, np.float32),
+                               np.asarray(nhwc, np.float32
+                                          ).transpose(2, 0, 1),
+                               atol=1e-2, rtol=1e-2)
