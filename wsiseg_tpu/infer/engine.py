@@ -23,6 +23,15 @@ Two modes:
     network runs once over large halo-padded chunks covering the slide;
     each output pixel is computed once (~16× fewer FLOPs at default
     stride). Equivalent up to translation-variance of padding/BN edges.
+
+The FCN fast path (Pallas stem + functional net, models/infer_fast)
+uploads the raw uint8 level image, packs it for the stem on device,
+keeps the head logits in s2d layout ((H/2, W/2, 4·nc) — the f32
+depth_to_space costs 23 ms at slide scale), postprocesses per position
+plane on device (_postprocess_s2d) and interleaves only the u8
+artifacts on the host. Knobs: ``fcn_fold`` (opt-in fused conv-chain
+decoder; compile-expensive), ``fcn_planar`` (s2d postprocess, default
+on), ``fcn_fast_interpret`` (CPU interpreter for tests).
 """
 
 from __future__ import annotations
