@@ -58,6 +58,68 @@ def test_upfold_kernel_exact(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_upfold2_kernel_exact(rng):
+    """conv3x3(up2x(x_half)) with x_half in s2d(2) layout == d2s(4) of the
+    upfold2 conv output (shared quarter-res cell grid)."""
+    from wsiseg_tpu.models.fast_decoder import upfold2_kernel, upsample2x
+    xh = jnp.asarray(rng.randn(1, 8, 12, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+    std = jax.lax.conv_general_dilated(
+        upsample2x(xh), w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = depth_to_space(jax.lax.conv_general_dilated(
+        space_to_depth(xh), upfold2_kernel(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), 4)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_kernel_f4_exact(rng):
+    """conv3x3 in the s2d(4) domain equals the native conv."""
+    from wsiseg_tpu.models.fast_decoder import s2d_kernel_f
+    x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+    std = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = depth_to_space(jax.lax.conv_general_dilated(
+        space_to_depth(x, 4), s2d_kernel_f(w, 4), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), 4)
+    np.testing.assert_allclose(np.asarray(std), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_s2d_stride2_kernel_exact(rng):
+    """Stride-2 pad-1 conv3x3 from an s2d(2)-layout input."""
+    from wsiseg_tpu.models.fast_decoder import s2d_stride2_kernel
+    x = jnp.asarray(rng.randn(1, 16, 24, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32))
+    std = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    fast = jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_stride2_kernel(w), (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(std), np.asarray(fast),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_decode_fast_s2d_head_layout(rng):
+    """decode_fast(s2d_head=True) returns s2d(S2D_HEAD_F) logits whose
+    depth_to_space equals the full-res output."""
+    from wsiseg_tpu.models.fast_decoder import (S2D_HEAD_F, decode_fast)
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    feats = model.apply(variables, x, method=YNet.encode)
+    full = decode_fast(variables, feats, jnp.float32)
+    y_s = decode_fast(variables, feats, jnp.float32, s2d_head=True)
+    assert y_s.shape == (1, 64 // S2D_HEAD_F, 64 // S2D_HEAD_F,
+                         S2D_HEAD_F ** 2 * cfg.num_classes)
+    np.testing.assert_allclose(np.asarray(depth_to_space(y_s, S2D_HEAD_F)),
+                               np.asarray(full), atol=1e-5, rtol=1e-5)
+
+
 def test_decode_fold_parity(rng):
     """Fused Pallas chain decode (decode_fold) matches decode_fast on a
     full Y-Net pyramid (interpret mode on CPU)."""

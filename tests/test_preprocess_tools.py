@@ -91,6 +91,92 @@ def test_patch_to_cls_breastpathq(tmp_path):
     assert {float(r.label) for r in recs} == {0.0, 0.4, 0.9}
 
 
+def test_patch_to_cls_breakhis(tmp_path):
+    """BreakHis tree walk (reference patch_to_cls_breakhis.py:23-52):
+    only <mag> images kept; ductal carcinoma → 2, other malignant → 3."""
+    from wsiseg_tpu.preprocess.patch_to_cls import generate_breakhis
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "breakhis" / "malignant" / "SOB"
+    layout = [
+        ("ductal_carcinoma/SOB_M_DC_14-2523/40X", "dc0.png", True),
+        ("ductal_carcinoma/SOB_M_DC_14-2523/40X", "dc1.png", True),
+        ("lobular_carcinoma/SOB_M_LC_14-13412/40X", "lc0.png", True),
+        # non-40X magnification and non-png must be skipped
+        ("ductal_carcinoma/SOB_M_DC_14-2523/100X", "dc2.png", False),
+        ("lobular_carcinoma/SOB_M_LC_14-13412/40X", "notes.txt", False),
+    ]
+    for sub, name, _ in layout:
+        d = root / sub
+        d.mkdir(parents=True, exist_ok=True)
+        if name.endswith(".png"):
+            Image.fromarray(rng.randint(0, 255, (48, 56, 3),
+                                        np.uint8)).save(str(d / name))
+        else:
+            (d / name).write_text("x")
+
+    cfg = default_config(tile_w=32, tile_h=32)
+    out = str(tmp_path / "out")
+    meta = generate_breakhis(str(tmp_path / "breakhis"), out, cfg)
+    recs = md.flatten_patches(meta)
+    assert len(recs) == 3
+    assert all(r.task is md.Task.CLS for r in recs)
+    by_name = {os.path.basename(r.image_path): int(r.label) for r in recs}
+    assert by_name == {"w_dc0.png_0.png": 2, "w_dc1.png_0.png": 2,
+                       "w_lc0.png_0.png": 3}
+    for r in recs:
+        assert os.path.exists(r.image_path)
+        assert Image.open(r.image_path).size == (32, 32)
+
+
+def test_ssr_patch_to_gt_classification(photos_dir, tmp_path):
+    """Classification option (reference ssr_patch_to_gt.py): image copies
+    + gt.npy records with the ×7 oversampling hint, loadable by the SSR
+    cls dataset."""
+    from wsiseg_tpu.preprocess import ssr_patch_to_gt
+
+    cfg = default_config(tile_w=64, tile_h=64)
+    out = str(tmp_path / "ssr_cls")
+    meta = ssr_patch_to_gt.generate(photos_dir, out, cfg,
+                                    option="classification")
+    assert len(meta) == 8
+    for filename, tiles in meta.items():
+        rec = tiles[0]
+        assert rec["times"] == 7
+        assert os.path.exists(rec["image"])
+        assert Image.open(rec["image"]).size == (64, 64)
+    labels = sorted({t[0]["label"] for t in meta.values()})
+    assert labels == [0, 1, 2, 3]
+    # reloadable through the SSR cls dataset path
+    from wsiseg_tpu.data.ssr import SSRClsDataset
+    ds = SSRClsDataset(out, cfg)
+    assert len(ds) > 0
+
+
+def test_ssr_patch_to_gt_segmentation(photos_dir, tmp_path):
+    """Segmentation option: *_image.png + constant one-hot RGB *_gt.png
+    per class (reference ssr_patch_to_gt.py:49-53)."""
+    from wsiseg_tpu.preprocess import ssr_patch_to_gt
+
+    cfg = default_config(tile_w=64, tile_h=64)
+    out = str(tmp_path / "ssr_seg")
+    ssr_patch_to_gt.generate(photos_dir, out, cfg, option="segmentation")
+    imgs = sorted(f for f in os.listdir(out) if f.endswith("_image.png"))
+    gts = sorted(f for f in os.listdir(out) if f.endswith("_gt.png"))
+    assert len(imgs) == 8 and len(gts) == 8
+    # class code c>0 → channel c-1 set; Normal (code 0) → all-zero GT
+    g_inv = np.asarray(Image.open(os.path.join(out,
+                                               "invasive00.png_gt.png")))
+    assert (g_inv[..., 2] == 255).all() and (g_inv[..., :2] == 0).all()
+    g_nrm = np.asarray(Image.open(os.path.join(out,
+                                               "normal00.png_gt.png")))
+    assert (g_nrm == 0).all()
+    # pairs load through the SSR seg dataset
+    from wsiseg_tpu.data.ssr import SSRSegDataset
+    ds = SSRSegDataset(out, cfg)
+    assert len(ds) > 0
+
+
 def test_mk_traindata_centered(synthetic_slide_dir, tmp_path):
     from wsiseg_tpu.preprocess.mk_traindata_centered import generate_for_slide
     from wsiseg_tpu.slides.reader import open_slide

@@ -116,6 +116,62 @@ def upfold_kernel(w):
     return out.reshape(3, 3, w.shape[2], 4 * w.shape[3])
 
 
+def _upfold2_route() -> np.ndarray:
+    """(3, 3, 3, 3, 4, 16) routing for :func:`upfold2_kernel`: logical tap
+    (dy, dx) → (cell tap du, dv; s2d(2) input sub-position; s2d(4) output
+    sub-position)."""
+    route = np.zeros((3, 3, 3, 3, 4, 16), np.float32)
+    for a in range(4):
+        for b in range(4):
+            for dy in range(3):
+                du, al = divmod((a + dy - 1) // 2, 2)
+                if not (-1 <= du <= 1):
+                    continue
+                for dx in range(3):
+                    dv, be = divmod((b + dx - 1) // 2, 2)
+                    if not (-1 <= dv <= 1):
+                        continue
+                    route[dy, dx, du + 1, dv + 1, al * 2 + be,
+                          a * 4 + b] = 1.0
+    return route
+
+
+def upfold2_kernel(w):
+    """(3, 3, Cin, Cout) → (3, 3, 4·Cin, 16·Cout): exact kernel for
+    ``conv3x3(upsample2x(x_half))`` taking ``x_half`` in s2d(2) layout to
+    OUTPUT in s2d(4) layout — both on the SAME cell grid (quarter of the
+    output resolution).
+
+    Derivation: out[4I+a, 4J+b, co] = Σ w[dy,dx,ci,co]·u[4I+a+dy-1, …]
+    with u = upsample2x(x_half), u[r, c] = x_half[r//2, c//2]; writing the
+    half-res index as 2(I+du)+α gives s = ⌊(a+dy-1)/2⌋ = 2du+α, du ∈
+    {-1, 0, 1} — a 3×3 cell-tap kernel. Combined with
+    :func:`s2d_kernel_f`(·, 4) for the following convs this runs the
+    full-resolution decoder tail at quarter-resolution cells with ≥128
+    dense lanes (measured v5e: block4+head 25.9 → 21.8 ms at slide
+    scale)."""
+    cin, cout = w.shape[2], w.shape[3]
+    route = _upfold2_route()
+    out = jnp.einsum("yxuvio,yxcm->uvicom", jnp.asarray(route, w.dtype), w)
+    return out.reshape(3, 3, 4 * cin, 16 * cout)
+
+
+def s2d_stride2_kernel(w):
+    """(3, 3, Cin, Cout) stride-2 pad-1 conv → (2, 2, 4·Cin, Cout)
+    stride-1 conv over s2d(2) cells with padding ((1, 0), (1, 0)).
+    (The stem trick of fast_encoder.s2d_stem_kernel for 3×3 kernels —
+    lets a stride-2 stage consume an s2d-layout activation directly.)"""
+    cin, cout = w.shape[2], w.shape[3]
+    route = np.zeros((3, 3, 2, 2, 4), np.float32)
+    for dy in range(3):
+        du, al = divmod(dy - 1, 2)
+        for dx in range(3):
+            dv, be = divmod(dx - 1, 2)
+            route[dy, dx, du + 1, dv + 1, al * 2 + be] = 1.0
+    out = jnp.einsum("yxuvi,yxcm->uvicm", jnp.asarray(route, w.dtype), w)
+    return out.reshape(2, 2, 4 * cin, cout)
+
+
 def space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
     """(B, H, W, C) → (B, H/f, W/f, f²C); channel index (α·f+β)·C + c."""
     b, h, w, c = x.shape
@@ -161,52 +217,94 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
+# s2d factor of the head logits that decode_fast(s2d_head=True) emits —
+# the engine's planar postprocess interleaves f² position planes.
+S2D_HEAD_F = 4
+
+
 def decode_fast(variables, feats, dtype, s2d_head: bool = False):
-    """U-Net decoder forward with the s2d tail, from an encoder pyramid.
-    ``s2d_head=True`` returns the head logits in (B, H/2, W/2, 4·nc) s2d
-    layout without the final depth_to_space (23 ms at slide scale — the
-    engine postprocesses in s2d space instead)."""
+    """U-Net decoder forward with the full s2d tail, from an encoder
+    pyramid. Spatial dims of the c1 skip must be divisible by 4.
+
+    The lane-starved stages (≤64 channels at ≥H/4 spatial) run at cell
+    resolution with exactly transformed weights (all measured v5e at
+    3072×4096, see round-3 experiment `scripts/exp_r3a.py`):
+
+    * blocks 0-1: native layout (128-256 channels at ≤H/8 — XLA is fine);
+    * block2 at H/8 cells in s2d(2) of its H/4 domain (17.8 → 11.6 ms):
+      conv1 = upfold(up-path) ⊕ s2d(skip c2), conv2 = s2d;
+    * block3 at H/4 cells in s2d(2) of its H/2 domain (33.1 → 19.0 ms);
+    * block4 + seg head at H/4 cells in s2d(4) of the full resolution
+      (25.9 → 21.8 ms): conv1 = upfold2 (s2d(2) in → s2d(4) out), conv2 +
+      head = s2d(4) kernels. The 16× tap redundancy of the s2d(4) kernels
+      costs less than the 16-lane starvation it removes.
+
+    ``s2d_head=True`` returns the head logits in (B, H/4, W/4, 16·nc)
+    s2d(4) layout without the final depth_to_space (the f32 full-res
+    transpose costs ~23 ms at slide scale — the engine postprocesses in
+    s2d space instead, `S2D_HEAD_F` position planes per class).
+
+    Reference twin: smp Unet decoder dense eval (utils/eval.py:196-200).
+    """
     dp = variables["params"]["decoder"]
     db = variables["batch_stats"]["decoder"]
 
     xx = feats[0].astype(dtype)
     skips = list(feats[1:]) + [None]
 
-    # blocks 0..3 standard (deep stages: XLA conv is fine there);
-    # nearest 2x via broadcast — resize's gather lowering is slow at
-    # slide scale (see upsample2x docstring). NOTE: splitting conv1 of
-    # the up+skip concat into two summed convs was measured 3% SLOWER
-    # (XLA fuses the concat into the conv input already).
-    for i in range(4):
+    # blocks 0, 1 native; nearest 2x via broadcast — resize's gather
+    # lowering is slow at slide scale (see upsample2x docstring). NOTE:
+    # splitting conv1 of the up+skip concat into two summed convs was
+    # measured 3% SLOWER (XLA fuses the concat into the conv input).
+    for i in (0, 1):
         blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
         xx = upsample2x(xx)
-        skip = skips[i]
-        if skip is not None:
-            xx = jnp.concatenate([xx, skip.astype(dtype)], axis=-1)
+        xx = jnp.concatenate([xx, skips[i].astype(dtype)], axis=-1)
         for cj in (1, 2):
             y = _conv(xx, blk_p[f"conv{cj}"]["kernel"].astype(dtype))
             s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
             xx = jax.nn.relu(y * s + t).astype(dtype)
 
-    # block4 + seg head in s2d domain at half resolution: conv1's 2x
-    # upsample folds into its kernel (upfold_kernel — the explicit
-    # s2d(upsample2x(x)) channel tile materializes 4x the input bytes)
+    # blocks 2, 3: s2d(2) cells of each block's native resolution; the 2×
+    # upsample folds into conv1 (upfold) and the skip enters via its s2d
+    # kernel on the space_to_depth'd skip
+    for i in (2, 3):
+        blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
+        cup = xx.shape[-1]
+        w1 = blk_p["conv1"]["kernel"]
+        k1 = jnp.concatenate([upfold_kernel(w1[:, :, :cup]),
+                              s2d_kernel(w1[:, :, cup:])],
+                             axis=2).astype(dtype)
+        s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
+        k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
+        s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
+        xin = jnp.concatenate([xx, space_to_depth(skips[i].astype(dtype))],
+                              axis=-1)
+        y = _conv(xin, k1)
+        xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
+        y = _conv(xs, k2)
+        xs = jax.nn.relu(y * _tile4(s2) + _tile4(t2)).astype(dtype)
+        # block3's s2d(2) output feeds block4's upfold2 directly; block2
+        # returns to native for block3's upfold conv1
+        xx = depth_to_space(xs) if i == 2 else xs
+
+    # block4 + seg head: s2d(4) cells (same grid as block3's s2d(2))
     blk_p, blk_b = dp["block4"], db["block4"]
-    k1 = upfold_kernel(blk_p["conv1"]["kernel"]).astype(dtype)
+    k1 = upfold2_kernel(blk_p["conv1"]["kernel"]).astype(dtype)
     y = _conv(xx, k1)
     s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
-    xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
-    k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
+    xs = jax.nn.relu(y * jnp.tile(s1, 16) + jnp.tile(t1, 16)).astype(dtype)
+    k2 = s2d_kernel_f(blk_p["conv2"]["kernel"], 4).astype(dtype)
     y = _conv(xs, k2)
     s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
-    xs = jax.nn.relu(y * _tile4(s2) + _tile4(t2)).astype(dtype)
+    xs = jax.nn.relu(y * jnp.tile(s2, 16) + jnp.tile(t2, 16)).astype(dtype)
 
     head = dp["seg_head"]
-    kh = s2d_kernel(head["kernel"]).astype(dtype)
-    y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
+    kh = s2d_kernel_f(head["kernel"], 4).astype(dtype)
+    y = _conv(xs, kh) + jnp.tile(head["bias"].astype(jnp.float32), 16)
     if s2d_head:
         return y.astype(jnp.float32)
-    return depth_to_space(y).astype(jnp.float32)
+    return depth_to_space(y, 4).astype(jnp.float32)
 
 
 def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
@@ -310,8 +408,23 @@ def unet_segment_fast(model, variables, x, dtype=None):
     dtype = dtype or model.dtype
     # NOTE: an s2d-stem functional encoder exists (models/fast_encoder) but
     # measured SLOWER on v5e (stem 51→88 ms standalone: the s2d input
-    # relayout dominates at Cin=3) — the flax encoder stays. The PALLAS
+    # relayout dominates at Cin=3) — the flax stem stays. The PALLAS
     # stem (ops/pallas_stem) beats both; the whole-image inference path
-    # models/infer_fast uses it.
-    feats = model.apply(variables, x, method=YNet.encode)
+    # models/infer_fast uses it. The post-stem STAGES run through the
+    # functional encode_stages when the arch supports it so the stem
+    # maxpool uses maxpool_s2d — its internal s2d(c1) CSEs with the
+    # decoder's block3 skip relayout (worth ~35 ms at slide scale).
+    from wsiseg_tpu.models import fast_encoder as fe
+    from wsiseg_tpu.models.resnet import ENCODER_SPECS
+
+    if fe.supports_fast_encode(model):
+        ep = variables["params"]["encoder"]
+        eb = variables["batch_stats"]["encoder"]
+        y = fe._conv(x.astype(dtype), ep["stem_conv"]["kernel"].astype(dtype),
+                     stride=2, padding=((3, 3), (3, 3)))
+        c1 = fe._bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
+        _, stages = ENCODER_SPECS[model.arch]
+        feats = fe.encode_stages(ep, eb, c1, stages, dtype)
+    else:
+        feats = model.apply(variables, x, method=YNet.encode)
     return decode_fast(variables, feats, dtype)

@@ -117,7 +117,7 @@ def _conv9_padded(xp, w9, bias, *, br, wc, relu, out_dtype, interpret):
         kern,
         grid=(ny, nx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x: manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),          # x: manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w9 (9, C, N)
             pl.BlockSpec(memory_space=pltpu.VMEM),      # bias (1, N)
         ],
@@ -331,7 +331,7 @@ def _chain_padded(xp, cmask, wbs, *, br, wc, h, w, relus, out_dtype,
     return pl.pallas_call(
         body,
         grid=(ny, nx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)]    # col mask
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * L),
         out_specs=(pl.BlockSpec((n_out, br, wc), lambda i, j: (0, i, j),
@@ -377,11 +377,21 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     v5e) when the geometry allows (h % br == 0 and a power-of-two block
     split of w), else to "full" (any dims; interpret/CPU tests).
 
+    ``wc`` is a TARGET block width, not a guarantee: it is clamped to 320
+    (block widths >= ~512 hit a Mosaic compile-time cliff), overridden to
+    128/256 for ``planar_out`` (planar blocks must divide (8, 128)), and
+    then rebalanced so the last column block carries minimal padding.
+
     Capability twin of the reference decoder's chained conv+BN+ReLU
     blocks (smp Unet via train.py:29) for the dense-inference tail.
     """
     h, w, cin = x.shape
     L = len(layers)
+    # the edges-mode bottom masking zeroes out-of-image rows with two
+    # gated strips (grid rows ny-1, ny-2) — valid only while the halo
+    # depth d = L-1 stays below br; fail loudly instead of silently
+    # corrupting border rows for deeper chains
+    assert L - 1 <= br, f"conv_chain: halo depth {L - 1} > br={br}"
     ci0 = layers[0][0].shape[2]
     if cin > ci0:
         # caller passes a lane-padded input (e.g. a chain that emitted

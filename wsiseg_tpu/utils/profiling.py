@@ -48,6 +48,77 @@ class Throughput:
         return self.total_items / dt if dt > 0 else 0.0
 
 
+# bf16 MXU peak per chip (TFLOP/s) by TPU generation — used for the MFU
+# meter; v5e (the bench chip) is 197.
+PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v5p": 459.0,
+               "v6e": 918.0}
+
+
+def dense_forward_flops(arch: str, h: int, w: int, num_classes: int = 4,
+                        decoder: str = "Unet") -> float:
+    """Analytic LOGICAL FLOPs of one dense Y-Net segmentation forward at
+    (h, w) input resolution: the model's conv multiply-adds ×2, counted on
+    the reference architecture (stem + 4 ResNet stages + Unet decoder +
+    head). Layout tricks (s2d weight transforms) that re-express the same
+    math with redundant FLOPs do NOT change this number — MFU is measured
+    against the work the reference model defines, so layout regressions
+    can't hide behind inflated denominators.
+
+    Reference twin: the predict_tumorbed dense eval (utils/eval.py:155-286)
+    runs these same convs tile-by-tile (16× overlap at stride 128; grid
+    mode FLOPs = this number × overlap)."""
+    from wsiseg_tpu.models.resnet import ENCODER_SPECS, Bottleneck
+
+    block_cls, stages = ENCODER_SPECS[arch]
+    bottleneck = block_cls is Bottleneck
+    e = 4 if bottleneck else 1
+
+    mac = 0
+    # stem 7×7/2, 3→64
+    mac += (h // 2) * (w // 2) * 49 * 3 * 64
+    # stages at /4, /8, /16, /32
+    cin = 64
+    for i, n in enumerate(stages):
+        planes = 64 * (2 ** i)
+        hw = (h // (4 * 2 ** i)) * (w // (4 * 2 ** i))
+        for j in range(n):
+            if bottleneck:
+                cout = planes * e
+                mac += hw * (cin * planes + 9 * planes * planes
+                             + planes * cout)
+                if j == 0:
+                    mac += hw * cin * cout          # 1×1 downsample
+                cin = cout
+            else:
+                mac += hw * 9 * (cin * planes + planes * planes)
+                if j == 0 and (i > 0 or cin != planes):
+                    mac += hw * cin * planes
+                cin = planes
+    if decoder == "Unet":
+        # smp Unet decoder: channels (256, 128, 64, 32, 16), skips from
+        # [c4, c3, c2, c1, None]
+        ch = (256, 128, 64, 32, 16)
+        skips = (256 * e, 128 * e, 64 * e, 64, 0)
+        x = 512 * e
+        for i, (c, s) in enumerate(zip(ch, skips)):
+            hw = (h // (2 ** (4 - i))) * (w // (2 ** (4 - i)))
+            mac += hw * 9 * ((x + s) * c + c * c)
+            x = c
+        mac += h * w * 9 * 16 * num_classes         # 3×3 seg head
+    return 2.0 * mac
+
+
+def detect_peak_tflops(default: float = 197.0) -> float:
+    """Best-effort bf16 peak for device 0 (fallback: v5e)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in PEAK_TFLOPS.items():
+        if key in kind.replace(" ", ""):
+            return val
+    return default
+
+
 @contextlib.contextmanager
 def trace(log_dir: str, host_profile: bool = False):
     """Capture a device trace viewable in TensorBoard/XProf.
