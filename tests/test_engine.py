@@ -171,6 +171,29 @@ def test_fcn_fast_whole_image_path(cfg, slide, model_and_vars):
     assert fast_res.labels.shape == plan.canvas_hw
 
 
+def test_fcn_fast_nofold_v2_stem_path(cfg, slide, model_and_vars):
+    """The DEFAULT whole-image path (fused v2 stem: conv+pool+s2d in one
+    kernel, decode_cells tail, fused postprocess dispatch) agrees with
+    the chunked flax FCN path (interpret mode on CPU)."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True          # nofold is the default
+    assert engine._fcn_fast_ok()
+
+    fast_res = engine.predict_slide_fcn(plan)
+    flax_res = engine.predict_slide_fcn(plan, chunk=4096, halo=16)
+    agree = (fast_res.labels == flax_res.labels).mean()
+    assert agree > 0.95, f"v2-stem/flax FCN agreement too low: {agree}"
+    assert fast_res.labels.shape == plan.canvas_hw
+
+    # keep_probs exercises the unfused planar path + extras reconstruction
+    kp = engine.predict_slide_fcn(plan, keep_probs=True)
+    assert kp.probs is not None and kp.probs.shape[:2] == plan.canvas_hw
+    agree2 = (kp.labels == fast_res.labels).mean()
+    assert agree2 > 0.999
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""

@@ -104,20 +104,24 @@ def test_s2d_stride2_kernel_exact(rng):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_decode_fast_s2d_head_layout(rng):
-    """decode_fast(s2d_head=True) returns s2d(S2D_HEAD_F) logits whose
-    depth_to_space equals the full-res output."""
-    from wsiseg_tpu.models.fast_decoder import (S2D_HEAD_F, decode_fast)
+def test_decode_cells_parity_and_s2d_head_layout(rng):
+    """decode_cells (the whole-slide cell-domain tail) equals decode_fast
+    (the tile-batch tail), and its s2d_head layout is s2d(S2D_HEAD_F)."""
+    from wsiseg_tpu.models.fast_decoder import (S2D_HEAD_F, decode_cells,
+                                                decode_fast)
     cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32")
     model, variables = init_ynet(cfg, jax.random.PRNGKey(2))
     x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
     feats = model.apply(variables, x, method=YNet.encode)
     full = decode_fast(variables, feats, jnp.float32)
-    y_s = decode_fast(variables, feats, jnp.float32, s2d_head=True)
+    cells = decode_cells(variables, feats, jnp.float32)
+    np.testing.assert_allclose(np.asarray(cells), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+    y_s = decode_cells(variables, feats, jnp.float32, s2d_head=True)
     assert y_s.shape == (1, 64 // S2D_HEAD_F, 64 // S2D_HEAD_F,
                          S2D_HEAD_F ** 2 * cfg.num_classes)
     np.testing.assert_allclose(np.asarray(depth_to_space(y_s, S2D_HEAD_F)),
-                               np.asarray(full), atol=1e-5, rtol=1e-5)
+                               np.asarray(full), atol=1e-4, rtol=1e-4)
 
 
 def test_decode_fold_parity(rng):

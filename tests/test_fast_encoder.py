@@ -56,7 +56,9 @@ def test_encode_stages_fold_parity(rng):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[model.arch]
-    c1 = jnp.asarray(rng.randn(1, 32, 32, 64).astype(np.float32))
+    # c1 is a stem output in every real call → post-ReLU, non-negative
+    # (encode_stages' resfold layer1 relies on it)
+    c1 = jnp.asarray(np.abs(rng.randn(1, 32, 32, 64)).astype(np.float32))
     ref = encode_stages(ep, eb, c1, stages, jnp.float32)
     got = encode_stages_fold(ep, eb, c1, stages, jnp.float32, br=8, wc=16,
                              interpret=True)

@@ -125,9 +125,7 @@ class DenseInferenceEngine:
         return normalize(x, self.cfg.dataset_mean, self.cfg.dataset_std)
 
     def _segment(self, variables, x):
-        # the s2d decoder tail needs every pyramid stage even down to the
-        # H/4-cell blocks → input dims divisible by 8
-        if self.fast_seg and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
+        if self.fast_seg and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             from wsiseg_tpu.models.fast_decoder import unet_segment_fast
             return unet_segment_fast(self.model, variables, x)
         return self.model.apply(variables, x, method=YNet.segment)
@@ -266,7 +264,8 @@ class DenseInferenceEngine:
         heat = pr[1] if self.mode == "cls" else pr[2] + pr[3]
         heat = heat * (mask2_u8 > 0)
         heat_p = jnp.clip(jnp.round(heat * 255.0), 0, 255).astype(jnp.uint8)
-        extras = y_p if (keep_probs or keep_canvas) else None
+        extras = (y_p.astype(jnp.float32)
+                  if (keep_probs or keep_canvas) else None)
         return labels_p, heat_p, extras
 
     def _fused_planar_run(self, *, raw: bool, fold: bool, interp: bool,
@@ -282,16 +281,17 @@ class DenseInferenceEngine:
             return self._sharded_cache[key]
 
         from wsiseg_tpu.models.infer_fast import (_segment_from_packed,
+                                                  pack_for_stem2_device,
                                                   pack_for_stem_device)
 
         cfg = self.cfg
         mean = tuple(cfg.dataset_mean)
         std = tuple(cfg.dataset_std)
         arch = self.model.arch
+        pack_dev = pack_for_stem_device if fold else pack_for_stem2_device
 
         def run(variables, staged, mask2):
-            packed = (pack_for_stem_device(staged, mean, hp, wp)
-                      if raw else staged)
+            packed = pack_dev(staged, mean, hp, wp) if raw else staged
             y_s = _segment_from_packed(
                 variables, packed, mean, std, arch=arch, h=hp, w=wp,
                 interpret=interp, fold=fold, planar_head=True)
@@ -966,10 +966,12 @@ class DenseInferenceEngine:
             # postprocess. mode="fcn_raw": the RAW u8 image is staged and
             # the device-side stem packing is INCLUDED in the timed loop
             # (the pack-included headline variant, VERDICT r2 weak #5).
+            from wsiseg_tpu.models.infer_fast import pack_for_stem2
             raw = mode == "fcn_raw"
-            staged = (jax.device_put(img) if raw
-                      else jnp.asarray(pack_for_stem(img, cfg.dataset_mean)))
             fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+            pack_host = pack_for_stem if fold else pack_for_stem2
+            staged = (jax.device_put(img) if raw
+                      else jnp.asarray(pack_host(img, cfg.dataset_mean)))
             interp = getattr(self, "fcn_fast_interpret", False)
             seg_fn = _segment_raw if raw else _segment_packed
 

@@ -217,18 +217,74 @@ def _tile4(v):
     return jnp.tile(v, 4)
 
 
-# s2d factor of the head logits that decode_fast(s2d_head=True) emits —
+# s2d factor of the head logits that decode_cells(s2d_head=True) emits —
 # the engine's planar postprocess interleaves f² position planes.
 S2D_HEAD_F = 4
 
 
 def decode_fast(variables, feats, dtype, s2d_head: bool = False):
-    """U-Net decoder forward with the full s2d tail, from an encoder
-    pyramid. Spatial dims of the c1 skip must be divisible by 4.
+    """U-Net decoder forward with the s2d(2) BLOCK4 tail — the
+    tile-batch-friendly variant: blocks 0-3 in native layout, block4 +
+    seg head at half resolution via upfold/s2d kernels.
+
+    Use this for BATCHED tiles (the grid/streamed/sharded engine modes):
+    at (128, 512², ·) the cell-domain tail of :func:`decode_cells` is
+    ~35 ms/batch SLOWER (measured v5e, scripts/exp_r3c.py — the batched
+    s2d/d2s transposes dominate), while at whole-slide batch-1 shapes
+    decode_cells wins by ~25 ms. ``s2d_head=True`` returns (B, H/2, W/2,
+    4·nc) s2d(2) logits without the final depth_to_space.
+
+    Reference twin: smp Unet decoder dense eval (utils/eval.py:196-200).
+    """
+    dp = variables["params"]["decoder"]
+    db = variables["batch_stats"]["decoder"]
+
+    xx = feats[0].astype(dtype)
+    skips = list(feats[1:]) + [None]
+
+    # blocks 0..3 standard; nearest 2x via broadcast — resize's gather
+    # lowering is slow at slide scale (see upsample2x docstring). NOTE:
+    # splitting conv1 of the up+skip concat into two summed convs was
+    # measured 3% SLOWER (XLA fuses the concat into the conv input).
+    for i in range(4):
+        blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
+        xx = upsample2x(xx)
+        if skips[i] is not None:
+            xx = jnp.concatenate([xx, skips[i].astype(dtype)], axis=-1)
+        for cj in (1, 2):
+            y = _conv(xx, blk_p[f"conv{cj}"]["kernel"].astype(dtype))
+            s, t = _bn_affine(blk_p[f"bn{cj}"], blk_b[f"bn{cj}"])
+            xx = jax.nn.relu(y * s + t).astype(dtype)
+
+    # block4 + seg head in s2d(2) at half resolution: conv1's 2x upsample
+    # folds into its kernel (upfold)
+    blk_p, blk_b = dp["block4"], db["block4"]
+    k1 = upfold_kernel(blk_p["conv1"]["kernel"]).astype(dtype)
+    y = _conv(xx, k1)
+    s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
+    xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
+    k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
+    y = _conv(xs, k2)
+    s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
+    xs = jax.nn.relu(y * _tile4(s2) + _tile4(t2)).astype(dtype)
+
+    head = dp["seg_head"]
+    kh = s2d_kernel(head["kernel"]).astype(dtype)
+    y = _conv(xs, kh) + _tile4(head["bias"].astype(jnp.float32))
+    if s2d_head:
+        return y.astype(jnp.float32)
+    return depth_to_space(y).astype(jnp.float32)
+
+
+def decode_cells(variables, feats, dtype, s2d_head: bool = False,
+                 skip3_s2d=None):
+    """U-Net decoder forward with the full cell-domain s2d tail — the
+    WHOLE-SLIDE (batch-1, large spatial) variant. Spatial dims of the c1
+    skip must be divisible by 4.
 
     The lane-starved stages (≤64 channels at ≥H/4 spatial) run at cell
     resolution with exactly transformed weights (all measured v5e at
-    3072×4096, see round-3 experiment `scripts/exp_r3a.py`):
+    3072×4096, scripts/exp_r3a.py):
 
     * blocks 0-1: native layout (128-256 channels at ≤H/8 — XLA is fine);
     * block2 at H/8 cells in s2d(2) of its H/4 domain (17.8 → 11.6 ms):
@@ -239,10 +295,16 @@ def decode_fast(variables, feats, dtype, s2d_head: bool = False):
       head = s2d(4) kernels. The 16× tap redundancy of the s2d(4) kernels
       costs less than the 16-lane starvation it removes.
 
+    For BATCHED 512² tiles use :func:`decode_fast` instead (measured
+    ~35 ms/batch faster there — scripts/exp_r3c.py).
+
     ``s2d_head=True`` returns the head logits in (B, H/4, W/4, 16·nc)
     s2d(4) layout without the final depth_to_space (the f32 full-res
     transpose costs ~23 ms at slide scale — the engine postprocesses in
     s2d space instead, `S2D_HEAD_F` position planes per class).
+
+    ``skip3_s2d`` (B, H/4, W/4, 4·C1) supplies ``space_to_depth(c1)``
+    directly (the fused v2 stem emits it; ``feats[4]`` may then be None).
 
     Reference twin: smp Unet decoder dense eval (utils/eval.py:196-200).
     """
@@ -278,8 +340,11 @@ def decode_fast(variables, feats, dtype, s2d_head: bool = False):
         s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
         k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
         s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
-        xin = jnp.concatenate([xx, space_to_depth(skips[i].astype(dtype))],
-                              axis=-1)
+        if i == 3 and skip3_s2d is not None:
+            sk = skip3_s2d.astype(dtype)
+        else:
+            sk = space_to_depth(skips[i].astype(dtype))
+        xin = jnp.concatenate([xx, sk], axis=-1)
         y = _conv(xin, k1)
         xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
         y = _conv(xs, k2)
@@ -303,7 +368,12 @@ def decode_fast(variables, feats, dtype, s2d_head: bool = False):
     kh = s2d_kernel_f(head["kernel"], 4).astype(dtype)
     y = _conv(xs, kh) + jnp.tile(head["bias"].astype(jnp.float32), 16)
     if s2d_head:
-        return y.astype(jnp.float32)
+        # planar logits in the COMPUTE dtype: at slide scale the f32
+        # (H/4, W/4, 16·nc) head output is the single largest tensor and
+        # this chip is HBM-bound (~140 GB/s measured) — bf16 halves its
+        # write + the postprocess transpose read; the engine postprocess
+        # upcasts to f32 before softmax (scripts/exp_r3d.py calibration)
+        return y.astype(dtype)
     return depth_to_space(y, 4).astype(jnp.float32)
 
 
@@ -315,10 +385,25 @@ def decode_fold(variables, feats, dtype, *, br: int = 8, wc: int = 512,
     conv_chain`): per block ONE input-window DMA, both convs (three for
     block4+head) VMEM-resident, one output write.
 
+    STATUS — demoted, documented negative result (round 3). The fused
+    chains were built to beat XLA's memory-bound per-conv lowering, but
+    on v5e at slide scale they measure 73-92 ms for the blocks-2-4 region
+    (Mosaic edge-mask + inter-kernel glue costs) while the pure-XLA
+    s2d-cell-domain tail in :func:`decode_cells` runs the same region in
+    ~45 ms in-graph — AND compiles in seconds instead of ~2-3 min per
+    Pallas kernel through this environment's remote compile helper. The
+    Pallas STEM (ops/pallas_stem) remains the production win (2.7× XLA at
+    Cin=3, where the MXU cannot be fed by any layout); the chains stay
+    in-tree as equality-tested kernels (engine ``fcn_fold`` opt-in,
+    interpret-mode tests) and as the template for future fused epilogues.
+
     Numerically equivalent to :func:`decode_fast` up to fp reassociation
     (bf16 intermediates, f32 accumulation in both). Batch-1 only (the
     whole-slide FCN path); requires stage dims even (input dims divisible
-    by 32). Reference twin: utils/eval.py:196-200 decoder dense eval.
+    by 32). ``planar_head=True`` emits s2d(2) logits (4·nc channels) —
+    NOT the s2d(4) layout of ``decode_cells(s2d_head=True)``; the engine
+    postprocess derives the factor from the channel count. Reference
+    twin: utils/eval.py:196-200 decoder dense eval.
     """
     dp = variables["params"]["decoder"]
     db = variables["batch_stats"]["decoder"]
@@ -408,23 +493,10 @@ def unet_segment_fast(model, variables, x, dtype=None):
     dtype = dtype or model.dtype
     # NOTE: an s2d-stem functional encoder exists (models/fast_encoder) but
     # measured SLOWER on v5e (stem 51→88 ms standalone: the s2d input
-    # relayout dominates at Cin=3) — the flax stem stays. The PALLAS
-    # stem (ops/pallas_stem) beats both; the whole-image inference path
-    # models/infer_fast uses it. The post-stem STAGES run through the
-    # functional encode_stages when the arch supports it so the stem
-    # maxpool uses maxpool_s2d — its internal s2d(c1) CSEs with the
-    # decoder's block3 skip relayout (worth ~35 ms at slide scale).
-    from wsiseg_tpu.models import fast_encoder as fe
-    from wsiseg_tpu.models.resnet import ENCODER_SPECS
-
-    if fe.supports_fast_encode(model):
-        ep = variables["params"]["encoder"]
-        eb = variables["batch_stats"]["encoder"]
-        y = fe._conv(x.astype(dtype), ep["stem_conv"]["kernel"].astype(dtype),
-                     stride=2, padding=((3, 3), (3, 3)))
-        c1 = fe._bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
-        _, stages = ENCODER_SPECS[model.arch]
-        feats = fe.encode_stages(ep, eb, c1, stages, dtype)
-    else:
-        feats = model.apply(variables, x, method=YNet.encode)
+    # relayout dominates at Cin=3) — the flax encoder stays for this
+    # BATCHED-TILE path (functional encode_stages with maxpool_s2d was
+    # also measured ~7 ms/batch slower here, scripts/exp_r3c.py). The
+    # PALLAS stem + functional encoder + decode_cells combination wins at
+    # whole-slide shapes only; models/infer_fast uses it.
+    feats = model.apply(variables, x, method=YNet.encode)
     return decode_fast(variables, feats, dtype)

@@ -154,16 +154,55 @@ def _basic_block(ep, eb, xx, i, j, stride, dtype):
     return jax.nn.relu(y + identity.astype(jnp.float32)).astype(dtype)
 
 
-def encode_stages(ep, eb, c1, stages, dtype):
+def _basic_block_resfold(ep, eb, xx, i, j, dtype):
+    """Stride-1 BasicBlock with the residual FOLDED INTO the convs.
+
+    Requires the block input to be element-wise non-negative (true for
+    every layer1 block: inputs are maxpool/ReLU outputs), because the
+    identity channels ride through conv1's ReLU unchanged only when
+    relu(x) == x. Kernels become [w1 | I@center] (C→2C) and
+    [w2·s2 ; I@center] (2C→C): one conv emits (bn1-affine conv1 | x),
+    the next emits bn2(conv2)+x — the elementwise residual add and its
+    extra HBM round-trip disappear, and the intermediate activation is
+    2C dense lanes instead of a lane-padded C (this chip is HBM-bound:
+    ~140 GB/s measured, scripts/exp_r3d.py). Exact math."""
+    from wsiseg_tpu.models.fast_decoder import _bn_affine
+
+    p = ep[f"layer{i + 1}_{j}"]
+    b = eb[f"layer{i + 1}_{j}"]
+    c = xx.shape[-1]
+    eye = jnp.zeros((3, 3, c, c), jnp.float32).at[1, 1].set(jnp.eye(c))
+
+    s1, t1 = _bn_affine(p["bn1"], b["bn1"])
+    k1 = jnp.concatenate([p["conv1"]["kernel"] * s1, eye],
+                         axis=3).astype(dtype)
+    bias1 = jnp.concatenate([t1, jnp.zeros((c,), t1.dtype)])
+    a = jax.nn.relu(_conv(xx, k1) + bias1).astype(dtype)
+
+    s2, t2 = _bn_affine(p["bn2"], b["bn2"])
+    k2 = jnp.concatenate([p["conv2"]["kernel"] * s2, eye],
+                         axis=2).astype(dtype)
+    return jax.nn.relu(_conv(a, k2) + t2).astype(dtype)
+
+
+def encode_stages(ep, eb, c1, stages, dtype, pooled=None):
     """Functional inference forward of the four ResNet stages, starting
     from the stem output ``c1``. Returns [c5, c4, c3, c2, c1].
+
+    ``c1`` must be a genuine stem output (post-ReLU, non-negative): the
+    layer1 blocks run residual-folded (:func:`_basic_block_resfold`),
+    which is exact only for non-negative block inputs.
 
     The stem maxpool runs via :func:`maxpool_s2d` when dims allow: its
     internal ``space_to_depth(c1)`` is shared by XLA CSE with the decoder
     tail's block3 skip relayout when both run in one jit — measured v5e
     at 3072×4096 this is worth ~35 ms on the whole-image forward (the
-    standalone s2d of c1 forces a pathological layout assignment)."""
-    if c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0:
+    standalone s2d of c1 forces a pathological layout assignment).
+    ``pooled`` (B, H/4, W/4, 64) skips the maxpool entirely — the fused
+    v2 stem (ops/pallas_stem.stem_pool_conv) computes it in-kernel."""
+    if pooled is not None:
+        xx = pooled.astype(dtype)
+    elif c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0:
         xx = maxpool_s2d(c1)
     else:
         xx = nn.max_pool(c1, (3, 3), (2, 2), padding=[(1, 1), (1, 1)])
@@ -172,7 +211,13 @@ def encode_stages(ep, eb, c1, stages, dtype):
     for i, n_blocks in enumerate(stages):
         for j in range(n_blocks):
             stride = 2 if (i > 0 and j == 0) else 1
-            xx = _basic_block(ep, eb, xx, i, j, stride, dtype)
+            if i == 0:
+                # layer1 residual blocks with the add folded into the
+                # convs — measured v5e 63.7 → 56.8 ms on the whole-image
+                # forward (scripts/exp_r3f.py); exact (inputs ≥ 0)
+                xx = _basic_block_resfold(ep, eb, xx, i, j, dtype)
+            else:
+                xx = _basic_block(ep, eb, xx, i, j, stride, dtype)
         feats.append(xx)
 
     c2, c3, c4, c5 = feats

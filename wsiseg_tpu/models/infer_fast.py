@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wsiseg_tpu.models.fast_decoder import decode_fast, decode_fold
+from wsiseg_tpu.models.fast_decoder import (decode_cells,
+                                            decode_fold)
 from wsiseg_tpu.models.fast_encoder import (encode_stages,
                                             encode_stages_fold)
 from wsiseg_tpu.models.resnet import ENCODER_SPECS, BasicBlock
@@ -75,6 +76,40 @@ def pack_for_stem_device(img_u8, mean, h: int, w: int):
     return jnp.pad(packed, ((0, 0), (0, 2), (0, 0)))
 
 
+def pack_for_stem2(img_u8: np.ndarray, mean) -> np.ndarray:
+    """Host-side packing for the FUSED v2 stem
+    (:func:`wsiseg_tpu.ops.pallas_stem.stem_pool_conv`): quarter-res
+    cells of 4 pixels × 3 channels on the middle axis (12 of 16 rows
+    used; the 12→16 pad happens on device), cells on the minor axis."""
+    from wsiseg_tpu.ops.pallas_stem import stem2_geometry
+
+    h, w = img_u8.shape[:2]
+    hin, wc4, _ = stem2_geometry(h // 2, w // 2)
+    pad_rgb = np.clip(np.round(255.0 * np.asarray(mean)), 0,
+                      255).astype(np.uint8)
+    win = 4 * wc4
+    out = np.empty((hin, win, 3), np.uint8)
+    out[:] = pad_rgb
+    out[3:3 + min(h, hin - 3), 3:3 + min(w, win - 3)] = \
+        img_u8[:hin - 3, :win - 3]
+    return np.ascontiguousarray(out.reshape(hin, wc4, 12).transpose(0, 2, 1))
+
+
+def pack_for_stem2_device(img_u8, mean, h: int, w: int):
+    """Device-side twin of :func:`pack_for_stem2` → (Hin, 16, Wc4)."""
+    from wsiseg_tpu.ops.pallas_stem import stem2_geometry
+
+    hin, wc4, _ = stem2_geometry(h // 2, w // 2)
+    win = 4 * wc4
+    pad_rgb = jnp.clip(jnp.round(255.0 * jnp.asarray(mean)), 0,
+                       255).astype(jnp.uint8)
+    canvas = jnp.broadcast_to(pad_rgb, (hin, win, 3))
+    img = img_u8[:hin - 3, :win - 3]
+    canvas = jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0))
+    packed = canvas.reshape(hin, wc4, 12).transpose(0, 2, 1)
+    return jnp.pad(packed, ((0, 0), (0, 4), (0, 0)))
+
+
 @partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold",
                                    "planar_head", "fold_encoder",
                                    "use_chain"))
@@ -84,8 +119,10 @@ def _segment_raw(variables, img_u8, dataset_mean, dataset_std,
                  planar_head: bool = False, fold_encoder: bool = False,
                  use_chain: bool = False):
     """One-jit whole-image forward from the RAW (H, W, 3) uint8 image:
-    device-side stem packing + :func:`_segment_packed`'s body."""
-    packed = pack_for_stem_device(img_u8, dataset_mean, h, w)
+    device-side stem packing + :func:`_segment_packed`'s body. The
+    non-fold path packs for the fused v2 stem."""
+    packed = (pack_for_stem_device(img_u8, dataset_mean, h, w) if fold
+              else pack_for_stem2_device(img_u8, dataset_mean, h, w))
     return _segment_from_packed(
         variables, packed, dataset_mean, dataset_std, arch=arch, h=h,
         w=w, interpret=interpret, fold=fold, planar_head=planar_head,
@@ -117,6 +154,33 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
     eb = variables["batch_stats"]["encoder"]
     _, stages = ENCODER_SPECS[arch]
 
+    if img_packed.shape[1] in (12, 16):
+        # FUSED v2 stem path (quarter-cell packing): conv+BN+ReLU+maxpool
+        # + s2d-layout c1 in ONE kernel — native c1 is never materialized
+        # (~800 MB less HBM traffic/slide on the ~140 GB/s relay chip)
+        from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights2,
+                                                stem_pool_conv)
+
+        if img_packed.shape[1] == 12:
+            img_packed = jnp.pad(img_packed, ((0, 0), (0, 4), (0, 0)))
+        w336, bias2 = fold_stem_weights2(
+            ep["stem_conv"]["kernel"], ep["stem_bn"]["scale"],
+            ep["stem_bn"]["bias"], eb["stem_bn"]["mean"],
+            eb["stem_bn"]["var"], dataset_mean, dataset_std)
+        c1e, c1o, pool = stem_pool_conv(img_packed, w336, bias2,
+                                        h // 2, w // 2,
+                                        interpret=interpret)
+        half = h // 4
+        c1s2d = jnp.concatenate([c1e[:half], c1o[:half]],
+                                axis=-1)[None]          # s2d(c1)
+        feats = encode_stages(ep, eb, None, stages, jnp.bfloat16,
+                              pooled=pool[:half][None])
+        if planar_head:
+            return decode_cells(variables, feats, jnp.bfloat16,
+                                s2d_head=True, skip3_s2d=c1s2d)[0]
+        return decode_cells(variables, feats, jnp.bfloat16,
+                            skip3_s2d=c1s2d)[0]
+
     if img_packed.shape[1] == 6:
         img_packed = jnp.pad(img_packed, ((0, 0), (0, 2), (0, 0)))
 
@@ -144,9 +208,9 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
                            use_chain=use_chain, interpret=interpret)[0]
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
     if planar_head:
-        return decode_fast(variables, feats, jnp.bfloat16,
-                           s2d_head=True)[0]
-    return decode_fast(variables, feats, jnp.bfloat16)[0]
+        return decode_cells(variables, feats, jnp.bfloat16,
+                            s2d_head=True)[0]
+    return decode_cells(variables, feats, jnp.bfloat16)[0]
 
 
 def segment_whole_image(model, variables, img_u8: np.ndarray,

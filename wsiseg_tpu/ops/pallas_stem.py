@@ -169,6 +169,222 @@ def stem_conv(img6: jnp.ndarray, w147: jnp.ndarray, bias: jnp.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fused stem v2: conv + BN + ReLU + 3×3/2 maxpool + s2d-layout c1 emission.
+#
+# Motivation (round 3): the chip behind this environment's relay measures
+# ~140 GB/s HBM (scripts/exp_r3d.py) — the whole dense pass is
+# bandwidth-bound. The v1 stem materializes c1 (H/2, W/2, 64) which is then
+# re-read by the maxpool AND by the decoder's space_to_depth(c1) skip
+# relayout (~800 MB of extra traffic ≈ 6 ms/slide). v2 restructures the
+# input packing at QUARTER-resolution cells (4 pixels × 3 channels = 12
+# elements on sublanes, W/4 cells on lanes) so ONE (336, W/4)ᵀ·(336, 128)
+# matmul per output row yields the row as (W/4, 128) = [even-col 64ch |
+# odd-col 64ch] — and the kernel emits:
+#   * c1 as TWO s2d-layout halves out_e/out_o (H/4, W/4, 128) — rows 2P /
+#     2P+1; ``concat([out_e, out_o], -1)`` IS ``space_to_depth(c1)``
+#     (channel order (α·2+β)·64+c), consumed directly by the decoder skip;
+#   * the 3×3/2 SAME maxpool (H/4, W/4, 64), computed in-kernel from the
+#     f32 row accumulators (cross-block row reuse via a carry scratch;
+#     edge padding by ZERO is exact because post-ReLU values are ≥ 0).
+# Native c1 is never materialized.
+#
+# Mosaic constraints honored (probed): no value reshapes across the lane
+# boundary, no concat of offset slices, no roll on non-32-bit data — the
+# column shift for pooling uses an offset REF write instead.
+# ---------------------------------------------------------------------------
+
+
+def stem2_geometry(h_out: int, w_out: int):
+    """(Hin, Wc4, padded Hout) for the v2 packing. ``w_out`` is the c1
+    width (W/2); cells are w_out/2 = W/4 wide, lane-aligned to 128."""
+    h_pad = h_out + (-h_out % _BR)
+    wc4 = w_out // 2 + 2
+    wc4 += -wc4 % 128
+    return 2 * h_pad + 5, wc4, h_pad
+
+
+def fold_stem_weights2(kernel, bn_scale, bn_bias, bn_mean, bn_var,
+                       mean, std, eps: float = 1e-5):
+    """Like :func:`fold_stem_weights` but laid out for the v2 kernel:
+    returns (w336 (336, 128), bias (1, 128)).
+
+    Row 48·ky + 16·s + (3·pix + ch) ↦ tap (ky, dx) for the output parity β
+    encoded in the column β·64 + co, where 2β + dx = 4s + pix (the input
+    pixel's offset from the cell start). Bias duplicated per parity."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    s_ = 1.0 / (255.0 * std)
+    t = -mean / std
+    w = kernel.astype(jnp.float32)               # (7, 7, 3, 64)
+    g = bn_scale * jax.lax.rsqrt(bn_var + eps)
+    b = bn_bias - bn_mean * g
+    w_scaled = (w * s_[None, None, :, None] * g[None, None, None, :])
+    bias64 = jnp.einsum("yxc,yxco->o", jnp.broadcast_to(
+        t, (7, 7, 3)), w) * g + b                # (64,)
+
+    # scatter w_scaled[ky, dx, ch, co] → w336[48ky+16s+3pix+ch, 64β+co]
+    dst_rows, dst_beta, src = [], [], []
+    for ky in range(7):
+        for beta in range(2):
+            for dx in range(7):
+                off = 2 * beta + dx              # 0..8
+                sft, pix = divmod(off, 4)
+                dst_rows.append(48 * ky + 16 * sft + 3 * pix)
+                dst_beta.append(beta)
+                src.append((ky, dx))
+    w336 = jnp.zeros((336, 128), jnp.float32)
+    for (ky, dx), row, beta in zip(src, dst_rows, dst_beta):
+        w336 = w336.at[row:row + 3, 64 * beta:64 * beta + 64].add(
+            w_scaled[ky, dx])
+    bias = jnp.concatenate([bias64, bias64]).reshape(1, 128)
+    return w336, bias
+
+
+def _stem2_kernel(img_hbm, w_ref, b_ref, cmask_ref, oe_ref, oo_ref,
+                  pool_ref, scratch, patches, accbuf, shiftbuf, carry,
+                  sem, *, w4: int):
+    i = pl.program_id(0)
+    rows = 2 * _BR + 5
+
+    def dma(step, slot):
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(step * 2 * _BR, rows)], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+        carry[:] = jnp.zeros_like(carry)
+        shiftbuf[0:1] = jnp.zeros((1, 64), jnp.float32)
+
+    @pl.when(i + 1 < pl.num_programs(0))
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    sc = scratch.at[i % 2]
+
+    w = w_ref[:].astype(jnp.bfloat16)            # (336, 128)
+    bias = b_ref[:]                              # (1, 128)
+    wc4 = patches.shape[1]
+
+    for y in range(_BR):
+        for ky in range(7):
+            r = sc[2 * y + ky].astype(jnp.int32)           # (16, Wc4)
+            patches[pl.ds(48 * ky, 16), :] = r.astype(jnp.bfloat16)
+            for s_ in (1, 2):
+                rolled = pltpu.roll(r, wc4 - s_, 1).astype(jnp.bfloat16)
+                patches[pl.ds(48 * ky + 16 * s_, 16), :] = rolled
+        acc = jax.lax.dot_general(
+            patches[:, 0:w4], w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (w4, 128)
+        v = jnp.maximum(acc + bias, 0.0)
+        accbuf[y] = v
+        # rows alternate into the s2d even/odd halves
+        (oe_ref if y % 2 == 0 else oo_ref)[y // 2] = v.astype(jnp.bfloat16)
+
+    # fused 3×3/2 SAME maxpool over the 8 fresh c1 rows (+1 carry row)
+    cmask = cmask_ref[:]                         # (w4, 64) 0/1 f32
+    for p in range(_BR // 2):
+        rm1 = carry[:] if p == 0 else accbuf[2 * p - 1]
+        rmax = jnp.maximum(jnp.maximum(rm1, accbuf[2 * p]),
+                           accbuf[2 * p + 1])    # (w4, 128)
+        e_ = rmax[:, 0:64]
+        o_ = rmax[:, 64:128]
+        # column -1 via offset ref write (rolls on f32 wedge the relay
+        # chip; offset writes are the conv_chain-proven pattern). Row 0
+        # of shiftbuf stays zero (exact: post-ReLU values are ≥ 0).
+        shiftbuf[pl.ds(1, w4 - 1)] = o_[0:w4 - 1]
+        om1 = shiftbuf[:]
+        pool_ref[p] = jnp.maximum(jnp.maximum(om1, e_),
+                                  o_ * cmask).astype(jnp.bfloat16)
+    carry[:] = accbuf[_BR - 1]
+
+
+@partial(jax.jit, static_argnames=("h_out", "w_out", "interpret"))
+def stem_pool_conv(img12: jnp.ndarray, w336: jnp.ndarray,
+                   bias: jnp.ndarray, h_out: int, w_out: int,
+                   interpret: bool = False):
+    """Fused stem v2 forward: normalize + 7×7/2 conv + BN + ReLU + s2d
+    emission + 3×3/2 maxpool.
+
+    img12: (Hin, 16, Wc4) uint8 per :func:`stem2_geometry` /
+    :func:`pack_image2`. Returns (c1_even, c1_odd, pool):
+      c1_even/odd  (h_pad/2, w_out/2, 128) bf16 — s2d(c1) halves (rows
+                   2P / 2P+1; concat on channels == space_to_depth(c1));
+      pool         (h_pad/2, w_out/2, 64) bf16 — maxpool3x3/2(c1).
+    """
+    hin, wc4, h_pad = stem2_geometry(h_out, w_out)
+    assert img12.shape[0] >= hin and img12.shape[2] >= wc4, (
+        img12.shape, (hin, wc4))
+    assert img12.shape[1] == 16, "pack to 16 sublanes (rows 12..15 zero)"
+    assert h_out % _BR == 0 and w_out % 16 == 0
+    w4 = w_out // 2
+    n_blocks = h_pad // _BR
+
+    # column edge mask: pool col q uses input cols {2q-1, 2q, 2q+1}; the
+    # rightmost cell's odd column beyond w_out-1 must not contribute.
+    # Cols < w_out always exist (w4 = w_out/2 exact), so the mask is all
+    # ones — kept as an input for future partial-width use.
+    cmask = jnp.ones((w4, 64), jnp.float32)
+
+    half = h_pad // 2
+    kern = partial(_stem2_kernel, w4=w4)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),       # img: manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w336
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # cmask
+        ],
+        out_specs=(
+            pl.BlockSpec((_BR // 2, w4, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BR // 2, w4, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BR // 2, w4, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((half, w4, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((half, w4, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((half, w4, 64), jnp.bfloat16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * _BR + 5, 16, img12.shape[2]), jnp.uint8),
+            pltpu.VMEM((336, img12.shape[2]), jnp.bfloat16),
+            pltpu.VMEM((_BR, w4, 128), jnp.float32),     # acc rows
+            pltpu.VMEM((w4, 64), jnp.float32),           # col-shift buf
+            pltpu.VMEM((w4, 128), jnp.float32),          # row carry
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the carry scratch requires SEQUENTIAL grid steps; the f32
+            # acc buffer pushes past the default 16 MB scoped VMEM window
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(img12, w336.astype(jnp.bfloat16), bias.astype(jnp.float32), cmask)
+
+
+def pack_image2(img_u8: np.ndarray, h_out: int, w_out: int) -> np.ndarray:
+    """Host-side v2 packing: (H, W, 3) uint8 (top-left aligned with the
+    255-padded window start, as :func:`pack_image`) → (Hin, 16, Wc4):
+    quarter-res cells of 4 pixels × 3 channels on sublanes (12 → 16
+    padded), cells on lanes."""
+    hin, wc4, _ = stem2_geometry(h_out, w_out)
+    win = 4 * wc4
+    h, w = img_u8.shape[:2]
+    out = np.full((hin, win, 3), 255, np.uint8)
+    out[:min(h, hin), :min(w, win)] = img_u8[:hin, :win]
+    packed = np.zeros((hin, 16, wc4), np.uint8)
+    packed[:, :12] = out.reshape(hin, wc4, 12).transpose(0, 2, 1)
+    return packed
+
+
 def pack_image(img_u8: np.ndarray, h_out: int, w_out: int) -> np.ndarray:
     """Host-side packing: (H, W, 3) uint8 (top-left aligned with the
     255-padded window start, i.e. img[0,0] is logical pixel (-3, -3) of the
