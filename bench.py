@@ -101,6 +101,16 @@ def main():
     grid_dev = engine.device_throughput(plan, mode="grid",
                                         iters=3 if on_tpu else 1)
 
+    # multi-slide serving steady state: two resident slides per dispatch
+    # (amortizes fixed per-dispatch cost; per-slide time reported)
+    try:
+        fcn_dev2 = engine.device_throughput(plan, mode="fcn", iters=3,
+                                            slides_in_flight=2)
+    except Exception as e:
+        import sys
+        print(f"x2 device_throughput failed: {e!r}", file=sys.stderr)
+        fcn_dev2 = {"patches_per_sec": 0.0, "sec_per_slide": None}
+
     # pack-included variant (VERDICT r2 weak #5): RAW u8 slide staged in
     # HBM, stem packing + forward + postprocess all on device — the
     # honest "slide-resident" number with zero host-side staging
@@ -133,9 +143,9 @@ def main():
     hp, wp = engine._fcn_fast_dims(hs, ws)
     model_tflop = dense_forward_flops(model.arch, hp, wp,
                                       cfg.num_classes) / 1e12
-    best_sec = min(s for s in (fcn_dev["sec_per_slide"],
-                               raw_dev["sec_per_slide"]) if s) \
-        if (fcn_dev["sec_per_slide"] or raw_dev["sec_per_slide"]) else None
+    secs = [s for s in (fcn_dev["sec_per_slide"], fcn_dev2["sec_per_slide"],
+                        raw_dev["sec_per_slide"]) if s]
+    best_sec = min(secs) if secs else None
     peak = detect_peak_tflops()
     tflops = model_tflop / best_sec if best_sec else None
     mfu = tflops / peak if tflops else None
@@ -151,8 +161,8 @@ def main():
     except Exception:
         fcn_e2e_pps = fcn_e2e_sec = float("nan")
 
-    value = max(fcn_dev["patches_per_sec"], raw_dev["patches_per_sec"],
-                grid_dev["patches_per_sec"])
+    value = max(fcn_dev["patches_per_sec"], fcn_dev2["patches_per_sec"],
+                raw_dev["patches_per_sec"], grid_dev["patches_per_sec"])
     print(json.dumps({
         "metric": "dense_infer_patches_per_sec_per_chip",
         "value": round(value, 1),
@@ -163,6 +173,8 @@ def main():
         "model_tflop_per_slide": round(model_tflop, 3),
         "peak_tflops": peak,
         "fcn_device_patches_per_sec": round(fcn_dev["patches_per_sec"], 1),
+        "fcn_device_x2_patches_per_sec":
+            round(fcn_dev2["patches_per_sec"], 1),
         "fcn_device_rawpack_patches_per_sec":
             round(raw_dev["patches_per_sec"], 1),
         "upload_sec_per_slide": round(upload_sec, 3),

@@ -107,13 +107,25 @@ def make_preprocess(cfg: Config, train: bool = True):
 
 
 def parse_eval_flags(argv):
-    """Shared --fcn/--sharded pre-parser for the eval CLIs. Returns
-    (namespace, remaining_argv)."""
+    """Shared mode pre-parser for the eval CLIs. Returns
+    (namespace, remaining_argv).
+
+    FCN (ScanNet-style, each output pixel computed once) is the DEFAULT
+    dense-inference mode — it is the TPU-native execution of the
+    reference's stride-128 sliding-window workload and runs ~7× faster
+    per chip. ``--grid`` selects the exact-reference-semantics
+    overlap-add path (every stride-128 tile through the net, 16× overlap)
+    — kept as the parity ORACLE: its 16× recompute bounds it ~7× below
+    the FCN path by construction (round-3 decision; see PARITY.md)."""
     import argparse
 
     p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--grid", action="store_true",
+                   help="exact reference overlap-add stitching "
+                        "(parity oracle; 16x the FCN compute)")
     p.add_argument("--fcn", action="store_true",
-                   help="ScanNet-style FCN mode (each pixel computed once)")
+                   help="(default) ScanNet-style FCN mode; flag kept for "
+                        "compatibility")
     p.add_argument("--sharded", action="store_true",
                    help="shard each slide's tile stream over all devices")
     p.add_argument("--streamed", action="store_true",
@@ -121,6 +133,9 @@ def parse_eval_flags(argv):
                         "big for an HBM-resident level image); combines "
                         "with --sharded into the row-sharded canvas path")
     ns, rest = p.parse_known_args(argv)
+    # streamed/sharded run the tile path (grid semantics); otherwise FCN
+    # is the default and --grid opts into the parity oracle
+    ns.fcn = not (ns.grid or ns.streamed or ns.sharded)
     return ns, rest
 
 
