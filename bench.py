@@ -161,6 +161,26 @@ def main():
     except Exception:
         fcn_e2e_pps = fcn_e2e_sec = float("nan")
 
+    # pipelined multi-slide e2e: slide k+1's staged upload overlaps slide
+    # k's compute (engine.stage_slide_fcn; the production e2e pattern —
+    # steady state approaches max(transfer, compute) instead of the sum)
+    pipe_sec = float("nan")
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged = pool.submit(engine.stage_slide_fcn, plan)
+            t0 = time.time()
+            n_pipe = 3
+            for k in range(n_pipe):
+                nxt = (pool.submit(engine.stage_slide_fcn, plan)
+                       if k + 1 < n_pipe else None)
+                engine.predict_slide_fcn(plan, img=staged.result())
+                staged = nxt
+            pipe_sec = (time.time() - t0) / n_pipe
+    except Exception as e:
+        import sys
+        print(f"pipelined e2e failed: {e!r}", file=sys.stderr)
+
     value = max(fcn_dev["patches_per_sec"], fcn_dev2["patches_per_sec"],
                 raw_dev["patches_per_sec"], grid_dev["patches_per_sec"])
     print(json.dumps({
@@ -189,6 +209,8 @@ def main():
         if np.isfinite(fcn_e2e_pps) else None,
         "fcn_e2e_sec_per_slide": round(fcn_e2e_sec, 2)
         if np.isfinite(fcn_e2e_sec) else None,
+        "fcn_e2e_pipelined_sec_per_slide": round(pipe_sec, 2)
+        if np.isfinite(pipe_sec) else None,
         "num_tiles": len(plan.grid),
         "tile": [cfg.tile_h, cfg.tile_w],
         "stride": [cfg.tile_stride_h, cfg.tile_stride_w],

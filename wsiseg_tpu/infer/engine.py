@@ -353,11 +353,12 @@ class DenseInferenceEngine:
 
         cfg = self.cfg
         t0 = time.time()
+        staged = img is not None and isinstance(img, jax.Array)
         if img is None:
             img = np.asarray(plan.slide.read_level(cfg.scan_level))
         hs, ws = plan.stitch_hw
         hp, wp = self._fcn_fast_dims(hs, ws)
-        if (hp, wp) != img.shape[:2]:
+        if not staged and (hp, wp) != img.shape[:2]:
             img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
                          constant_values=255)
         # fold (fused Pallas conv-chain/conv9 decoder) is opt-in: the
@@ -378,8 +379,8 @@ class DenseInferenceEngine:
                 mask2 = self._half_mask(plan, (hp // f, wp // f))
                 runner = self._fused_planar_run(raw=True, fold=fold,
                                                 interp=interp, hp=hp, wp=wp)
-                labels4, heat4 = runner(self.variables,
-                                        jnp.asarray(np.asarray(img)), mask2)
+                dimg = img if staged else jnp.asarray(np.asarray(img))
+                labels4, heat4 = runner(self.variables, dimg, mask2)
             else:
                 y_s = segment_whole_image(
                     self.model, self.variables, img, cfg.dataset_mean,
@@ -466,6 +467,22 @@ class DenseInferenceEngine:
         with the previous slide's compute (multi-slide pipelining)."""
         return jax.device_put(
             np.asarray(plan.slide.read_level(self.cfg.scan_level)))
+
+    def stage_slide_fcn(self, plan: SlidePlan):
+        """Read + pad + upload a slide's raw level image for
+        :meth:`predict_slide_fcn` — run on a worker thread to overlap the
+        host decode AND the relay upload with the previous slide's
+        compute (the FCN analog of :meth:`stage_slide`; the e2e path is
+        relay-transfer-bound, so this overlap is the whole multi-slide
+        e2e win)."""
+        cfg = self.cfg
+        img = np.asarray(plan.slide.read_level(cfg.scan_level))
+        hs, ws = plan.stitch_hw
+        hp, wp = self._fcn_fast_dims(hs, ws)
+        if (hp, wp) != img.shape[:2]:
+            img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
+                         constant_values=255)
+        return jax.device_put(img)
 
     def predict_slide(self, plan: SlidePlan, keep_canvas: bool = False,
                       keep_probs: bool = False,
@@ -700,7 +717,8 @@ class DenseInferenceEngine:
 
     def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
                           halo: int = 128, keep_canvas: bool = False,
-                          keep_probs: bool = False) -> SlideResult:
+                          keep_probs: bool = False,
+                          img=None) -> SlideResult:
         """ScanNet-style FCN mode: each output pixel computed once
         (~(tile/stride)² fewer FLOPs than grid mode at the default 512/128
         geometry). Throughput is still reported in grid-equivalent
@@ -709,9 +727,11 @@ class DenseInferenceEngine:
         ``chunk=None`` (default) with a Unet/BasicBlock model runs the
         whole image as ONE fused dispatch (Pallas stem + functional net);
         an int ``chunk`` uses halo-padded chunk tiling through the flax
-        path."""
+        path. ``img`` accepts a pre-staged padded device image from
+        :meth:`stage_slide_fcn` (multi-slide upload/compute overlap)."""
         if chunk is None and self._fcn_fast_ok():
-            return self._predict_fcn_fast(plan, keep_canvas, keep_probs)
+            return self._predict_fcn_fast(plan, keep_canvas, keep_probs,
+                                          img=img)
         cfg = self.cfg
         t0 = time.time()
         img = plan.slide.read_level(cfg.scan_level)

@@ -82,8 +82,20 @@ def _pipelined_results(engine: DenseInferenceEngine,
             yield name, plan, engine.predict_slide_sharded(plan, mesh)
         return
     if fcn:
-        for name, plan in items:
-            yield name, plan, engine.predict_slide_fcn(plan)
+        # one-ahead staging: slide k+1's host decode + padded relay upload
+        # (engine.stage_slide_fcn) overlap slide k's compute — the e2e
+        # path is transfer-bound (~40-50 MB/s relay vs ~60 ms compute),
+        # so steady-state multi-slide e2e approaches the transfer floor
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged = (pool.submit(engine.stage_slide_fcn, items[0][1])
+                      if items else None)
+            for idx, (name, plan) in enumerate(items):
+                nxt = (pool.submit(engine.stage_slide_fcn, items[idx + 1][1])
+                       if idx + 1 < len(items) else None)
+                res = engine.predict_slide_fcn(plan, img=staged.result())
+                staged = nxt
+                yield name, plan, res
         return
     # one-ahead staging on a worker thread: overlaps BOTH the host-side
     # level decode and the H2D upload with the current slide's compute
