@@ -101,11 +101,12 @@ def main():
     grid_dev = engine.device_throughput(plan, mode="grid",
                                         iters=3 if on_tpu else 1)
 
-    # multi-slide serving steady state: two resident slides per dispatch
-    # (amortizes fixed per-dispatch cost; per-slide time reported)
+    # multi-slide serving steady state: several resident slides per
+    # dispatch (amortizes fixed per-dispatch cost; per-slide time
+    # reported; sweep in /tmp-era scripts showed 2->4 slides adds ~5%)
     try:
         fcn_dev2 = engine.device_throughput(plan, mode="fcn", iters=3,
-                                            slides_in_flight=2)
+                                            slides_in_flight=4)
     except Exception as e:
         import sys
         print(f"x2 device_throughput failed: {e!r}", file=sys.stderr)
@@ -193,7 +194,7 @@ def main():
         "model_tflop_per_slide": round(model_tflop, 3),
         "peak_tflops": peak,
         "fcn_device_patches_per_sec": round(fcn_dev["patches_per_sec"], 1),
-        "fcn_device_x2_patches_per_sec":
+        "fcn_device_x4_patches_per_sec":
             round(fcn_dev2["patches_per_sec"], 1),
         "fcn_device_rawpack_patches_per_sec":
             round(raw_dev["patches_per_sec"], 1),

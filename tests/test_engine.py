@@ -243,3 +243,16 @@ def test_postprocess_s2d_matches_threshold_probs(cfg, model_and_vars, rng):
             np.stack([yp[pos * nc + c] for pos in range(4)]), hs, ws)
          for c in range(nc)], axis=-1)
     np.testing.assert_allclose(canvas, np.asarray(full), atol=1e-6)
+
+
+def test_fcn_fast_slides_in_flight(cfg, slide, model_and_vars):
+    """device_throughput(slides_in_flight=2) runs the n-slide fused
+    dispatch and reports per-slide steady state (interpret mode)."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=cfg.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True
+    r1 = engine.device_throughput(plan, mode="fcn", iters=1)
+    r2 = engine.device_throughput(plan, mode="fcn", iters=1,
+                                  slides_in_flight=2)
+    assert r1["sec_per_slide"] > 0 and r2["sec_per_slide"] > 0
