@@ -112,11 +112,17 @@ class PSPDecoder(nn.Module):
 
         outs = [c5]
         for bi, nbins in enumerate(self.bins):
-            # adaptive average pool ≈ antialiased linear resize to the bin
-            # grid (exact when h, w divide nbins)
-            pooled = jax.image.resize(c5.astype(jnp.float32),
-                                      (b, nbins, nbins, c), method="linear",
-                                      antialias=True).astype(self.dtype)
+            if h % nbins == 0 and w % nbins == 0:
+                # exact adaptive average pool (torch
+                # F.adaptive_avg_pool2d semantics) via reshape-mean
+                pooled = c5.astype(jnp.float32).reshape(
+                    b, nbins, h // nbins, nbins, w // nbins, c
+                ).mean(axis=(2, 4)).astype(self.dtype)
+            else:
+                # approximation for indivisible dims: antialiased resize
+                pooled = jax.image.resize(
+                    c5.astype(jnp.float32), (b, nbins, nbins, c),
+                    method="linear", antialias=True).astype(self.dtype)
             x = conv(branch_ch, (1, 1), use_bias=False,
                      name=f"psp{bi}_conv")(pooled)
             x = norm(name=f"psp{bi}_bn")(x)
