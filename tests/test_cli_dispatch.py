@@ -56,3 +56,31 @@ def test_invalid_flags_rejected():
         parse_args(["--loss", "nope"])
     with pytest.raises(ValueError):
         parse_args(["--model_name", "SegFormer"])
+
+
+def test_eval_flags_fcn_exclusive():
+    """--fcn with --grid/--streamed/--sharded is a loud error (the old
+    behavior silently dropped the FCN request and ran the 16x-recompute
+    grid path)."""
+    from wsiseg_tpu.cli.common import parse_eval_flags
+    ns, rest = parse_eval_flags(["--grid"])
+    assert not ns.fcn and ns.grid and rest == []
+    ns, _ = parse_eval_flags([])
+    assert ns.fcn                            # FCN is the default
+    for bad in (["--fcn", "--grid"], ["--fcn", "--streamed"],
+                ["--fcn", "--sharded"]):
+        with pytest.raises(SystemExit):
+            parse_eval_flags(bad)
+
+
+def test_detect_peak_tflops_device_kind_strings():
+    """PEAK_TFLOPS matching handles JAX device_kind spellings like
+    'TPU v5 lite' / 'TPU v6 lite' (spaces stripped, longest key wins)."""
+    from wsiseg_tpu.utils.profiling import detect_peak_tflops as peak
+
+    assert peak(kind="TPU v5 lite") == 197.0
+    assert peak(kind="TPU v5litepod") == 197.0
+    assert peak(kind="TPU v6 lite") == 918.0
+    assert peak(kind="TPU v5p") == 459.0
+    assert peak(kind="TPU v4") == 275.0
+    assert peak(kind="weird accelerator") == 197.0

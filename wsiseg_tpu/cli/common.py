@@ -133,6 +133,9 @@ def parse_eval_flags(argv):
                         "big for an HBM-resident level image); combines "
                         "with --sharded into the row-sharded canvas path")
     ns, rest = p.parse_known_args(argv)
+    if ns.fcn and (ns.grid or ns.streamed or ns.sharded):
+        p.error("--fcn is mutually exclusive with --grid/--streamed/"
+                "--sharded (FCN is already the default; drop --fcn)")
     # streamed/sharded run the tile path (grid semantics); otherwise FCN
     # is the default and --grid opts into the parity oracle
     ns.fcn = not (ns.grid or ns.streamed or ns.sharded)

@@ -232,9 +232,9 @@ class DenseInferenceEngine:
     def _postprocess_s2d(self, y_s, mask2_u8, *, keep_probs: bool = False,
                          keep_canvas: bool = False):
         """Postprocess s2d-layout logits (H/f, W/f, f²·nc) f32 on device
-        (f derived from the channel count — 4 for the fold decoder's
-        s2d(2) head, 2 for legacy, ``fast_decoder.S2D_HEAD_F`` = 4 for the
-        default tail): ONE planar transpose, then per-position softmax/
+        (f derived from the channel count — 2 for the fold decoder's
+        s2d(2) head, 4 = ``fast_decoder.S2D_HEAD_F`` for the default
+        decode_cells tail): ONE planar transpose, then per-position softmax/
         threshold with class groups as OUTER-dim slices (full-lane VPU).
         No small-dim-tiled intermediates: 5-D reshapes OOM 30 GB from 64×
         tile padding and strided scatter interleaves cost ~110 ms —
@@ -372,12 +372,9 @@ class DenseInferenceEngine:
         t0 = time.time()
         staged = img is not None and isinstance(img, jax.Array)
         if img is None:
-            img = np.asarray(plan.slide.read_level(cfg.scan_level))
+            img = self._read_padded_level(plan)
         hs, ws = plan.stitch_hw
         hp, wp = self._fcn_fast_dims(hs, ws)
-        if not staged and (hp, wp) != img.shape[:2]:
-            img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
-                         constant_values=255)
         # fold (fused Pallas conv-chain/conv9 decoder) is opt-in: the
         # remote compile helper takes ~2-3 min PER Pallas kernel, so the
         # multi-kernel fold graph costs 30+ min of first-compile — too
@@ -402,6 +399,11 @@ class DenseInferenceEngine:
                 labels4 = self._unpack_labels(np.asarray(labels4),
                                               f * f)
             else:
+                if staged:
+                    # the unfused branches pack host-side: fetch the
+                    # staged device image back to numpy ONCE up front
+                    # instead of paying an implicit D2H inside packing
+                    img = np.asarray(img)
                 y_s = segment_whole_image(
                     self.model, self.variables, img, cfg.dataset_mean,
                     cfg.dataset_std, interpret=interp, fold=fold,
@@ -433,6 +435,8 @@ class DenseInferenceEngine:
             return SlideResult(
                 plan.name, labels, heat, len(plan.grid),
                 time.time() - t0, probs=probs, canvas=canvas)
+        if staged:
+            img = np.asarray(img)      # unfused path packs host-side
         canvas = segment_whole_image(
             self.model, self.variables, img, cfg.dataset_mean,
             cfg.dataset_std, interpret=interp, fold=fold)[:hs, :ws]
@@ -488,21 +492,31 @@ class DenseInferenceEngine:
         return jax.device_put(
             np.asarray(plan.slide.read_level(self.cfg.scan_level)))
 
+    def _pad_to_fast(self, img: np.ndarray, plan: SlidePlan) -> np.ndarray:
+        """Pad a scan-level image to the FCN fast-path dims with the 255
+        background (single source of the staging geometry)."""
+        hs, ws = plan.stitch_hw
+        hp, wp = self._fcn_fast_dims(hs, ws)
+        if (hp, wp) != img.shape[:2]:
+            img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
+                         constant_values=255)
+        return img
+
+    def _read_padded_level(self, plan: SlidePlan) -> np.ndarray:
+        """Slide's scan-level image, padded via :meth:`_pad_to_fast`."""
+        return self._pad_to_fast(
+            np.asarray(plan.slide.read_level(self.cfg.scan_level)), plan)
+
     def stage_slide_fcn(self, plan: SlidePlan):
         """Read + pad + upload a slide's raw level image for
         :meth:`predict_slide_fcn` — run on a worker thread to overlap the
         host decode AND the relay upload with the previous slide's
         compute (the FCN analog of :meth:`stage_slide`; the e2e path is
         relay-transfer-bound, so this overlap is the whole multi-slide
-        e2e win)."""
-        cfg = self.cfg
-        img = np.asarray(plan.slide.read_level(cfg.scan_level))
-        hs, ws = plan.stitch_hw
-        hp, wp = self._fcn_fast_dims(hs, ws)
-        if (hp, wp) != img.shape[:2]:
-            img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
-                         constant_values=255)
-        return jax.device_put(img)
+        e2e win). Only useful when the fused fast path will consume the
+        device array (``_fcn_fast_ok()``); callers should gate on that —
+        the fallback paths would pay a D2H round-trip to recover numpy."""
+        return jax.device_put(self._read_padded_level(plan))
 
     def predict_slide(self, plan: SlidePlan, keep_canvas: bool = False,
                       keep_probs: bool = False,
@@ -1015,9 +1029,7 @@ class DenseInferenceEngine:
                                                       _segment_raw,
                                                       pack_for_stem)
             hp, wp = self._fcn_fast_dims(hs, ws)
-            if (hp, wp) != img.shape[:2]:
-                img = np.pad(img, ((0, hp - hs), (0, wp - ws), (0, 0)),
-                             constant_values=255)
+            img = self._pad_to_fast(img, plan)
             # HBM-resident contract. mode="fcn": the slide is staged
             # (packed) once and the steady state measures forward +
             # postprocess. mode="fcn_raw": the RAW u8 image is staged and
@@ -1053,7 +1065,12 @@ class DenseInferenceEngine:
                         tuple(cfg.dataset_std), arch=self.model.arch,
                         h=hp, w=wp, interpret=interp, fold=fold)[:hs, :ws]
                     return self._post(cv, mask, out_hw=(h2, w2))
-        elif mode in ("fcn", "fcn_raw"):
+        elif mode == "fcn_raw":
+            raise ValueError(
+                "mode='fcn_raw' measures device-side stem packing, which "
+                "needs the fused fast path (_fcn_fast_ok()); unavailable "
+                "for this model/platform — run mode='fcn' instead")
+        elif mode == "fcn":
             h, w = img.shape[:2]
             ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
             img_pad = jnp.asarray(np.pad(
@@ -1079,6 +1096,13 @@ class DenseInferenceEngine:
                 cv = run_pass(self.variables, level_img, canvas, ys_p, xs_p,
                               valid, n_batches=n_batches, bs=bs)
                 return self._post(cv, mask, out_hw=(h2, w2))
+
+        if slides_in_flight > 1 and n_per_iter == 1:
+            raise ValueError(
+                "slides_in_flight > 1 requires the fused planar fcn path "
+                "(_fcn_fast_ok() and _fcn_planar_ok(plan)); refusing to "
+                "silently report a single-slide number as the multi-slide "
+                "configuration")
 
         def sync(o):
             # block_until_ready is unreliable over the relay (CLAUDE.md);

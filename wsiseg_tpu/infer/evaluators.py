@@ -82,6 +82,13 @@ def _pipelined_results(engine: DenseInferenceEngine,
             yield name, plan, engine.predict_slide_sharded(plan, mesh)
         return
     if fcn:
+        if not engine._fcn_fast_ok():
+            # the chunked fallback packs host-side — a pre-staged device
+            # array would pay a D2H round-trip (or a wasted upload), so
+            # skip staging entirely
+            for name, plan in items:
+                yield name, plan, engine.predict_slide_fcn(plan)
+            return
         # one-ahead staging: slide k+1's host decode + padded relay upload
         # (engine.stage_slide_fcn) overlap slide k's compute — the e2e
         # path is transfer-bound (~40-50 MB/s relay vs ~60 ms compute),

@@ -50,8 +50,8 @@ class Throughput:
 
 # bf16 MXU peak per chip (TFLOP/s) by TPU generation — used for the MFU
 # meter; v5e (the bench chip) is 197.
-PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0, "v5p": 459.0,
-               "v6e": 918.0}
+PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v5lite": 197.0,
+               "v4": 275.0, "v5p": 459.0, "v6e": 918.0, "v6lite": 918.0}
 
 
 def dense_forward_flops(arch: str, h: int, w: int, num_classes: int = 4,
@@ -108,14 +108,20 @@ def dense_forward_flops(arch: str, h: int, w: int, num_classes: int = 4,
     return 2.0 * mac
 
 
-def detect_peak_tflops(default: float = 197.0) -> float:
-    """Best-effort bf16 peak for device 0 (fallback: v5e)."""
-    import jax
+def detect_peak_tflops(default: float = 197.0, kind: str = None) -> float:
+    """Best-effort bf16 peak for device 0 (fallback: v5e). ``kind``
+    overrides the probed ``device_kind`` (for tests)."""
+    if kind is None:
+        import jax
 
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    for key, val in PEAK_TFLOPS.items():
-        if key in kind.replace(" ", ""):
-            return val
+        kind = getattr(jax.devices()[0], "device_kind", "")
+    kind = kind.lower().replace(" ", "")
+    # longest key first so 'v5litepod' wins over 'v5lite' (same value
+    # today, but keeps the match deterministic as entries are added);
+    # JAX reports e.g. 'TPU v5 lite' / 'TPU v6 lite' -> 'tpuv5lite'
+    for key in sorted(PEAK_TFLOPS, key=len, reverse=True):
+        if key in kind:
+            return PEAK_TFLOPS[key]
     return default
 
 
