@@ -103,10 +103,12 @@ def main():
 
     # multi-slide serving steady state: several resident slides per
     # dispatch (amortizes fixed per-dispatch cost; per-slide time
-    # reported; sweep in /tmp-era scripts showed 2->4 slides adds ~5%)
+    # reported). Sweep (scripts/exp_r3h.py, v5e): 1/2/3/4/6 in flight =
+    # 10777/11266/11470/11558/11724 p/s — monotonic but flattening; 6
+    # stages ~1.6 GB of packed inputs, comfortably inside 16 GB HBM.
     try:
         fcn_dev2 = engine.device_throughput(plan, mode="fcn", iters=3,
-                                            slides_in_flight=4)
+                                            slides_in_flight=6)
     except Exception as e:
         import sys
         print(f"x2 device_throughput failed: {e!r}", file=sys.stderr)
@@ -194,7 +196,7 @@ def main():
         "model_tflop_per_slide": round(model_tflop, 3),
         "peak_tflops": peak,
         "fcn_device_patches_per_sec": round(fcn_dev["patches_per_sec"], 1),
-        "fcn_device_x4_patches_per_sec":
+        "fcn_device_x6_patches_per_sec":
             round(fcn_dev2["patches_per_sec"], 1),
         "fcn_device_rawpack_patches_per_sec":
             round(raw_dev["patches_per_sec"], 1),
