@@ -85,10 +85,9 @@ def main():
             ep["stem_conv"]["kernel"], ep["stem_bn"]["scale"],
             ep["stem_bn"]["bias"], eb["stem_bn"]["mean"],
             eb["stem_bn"]["var"], cfg.dataset_mean, cfg.dataset_std)
-        c1e, c1o, pool = stem_pool_conv(p, w336, bias2, H // 2, W // 2)
+        c1s2d, pool = stem_pool_conv(p, w336, bias2, H // 2, W // 2)
         half = H // 4
-        c1s2d = jnp.concatenate([c1e[:half], c1o[:half]], axis=-1)[None]
-        return c1s2d, pool[:half][None]
+        return c1s2d[:half][None], pool[:half][None]
 
     def decode_trunc(feats, c1s2d, stop: int):
         """decode_cells truncated after `stop` units (1=blocks01, 2=+b23,

@@ -88,9 +88,9 @@ def test_stem_v2_matches_v1_plus_pool_plus_s2d(stem_vars):
     w336, b2 = fold_stem_weights2(stem_vars["kernel"], stem_vars["scale"],
                                   stem_vars["bias"], stem_vars["mean"],
                                   stem_vars["var"], MEAN, STD)
-    c1e, c1o, pool = stem_pool_conv(jnp.asarray(pack_image2(canvas, h2, w2)),
-                                    w336, b2, h2, w2, interpret=True)
-    s2d_got = jnp.concatenate([c1e, c1o], -1)[: h2 // 2].astype(jnp.float32)
+    c1s2d, pool = stem_pool_conv(jnp.asarray(pack_image2(canvas, h2, w2)),
+                                 w336, b2, h2, w2, interpret=True)
+    s2d_got = c1s2d[: h2 // 2].astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(s2d_got), np.asarray(s2d_ref),
                                atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(

@@ -167,12 +167,11 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
             ep["stem_conv"]["kernel"], ep["stem_bn"]["scale"],
             ep["stem_bn"]["bias"], eb["stem_bn"]["mean"],
             eb["stem_bn"]["var"], dataset_mean, dataset_std)
-        c1e, c1o, pool = stem_pool_conv(img_packed, w336, bias2,
-                                        h // 2, w // 2,
-                                        interpret=interpret)
+        c1s2d, pool = stem_pool_conv(img_packed, w336, bias2,
+                                     h // 2, w // 2,
+                                     interpret=interpret)
         half = h // 4
-        c1s2d = jnp.concatenate([c1e[:half], c1o[:half]],
-                                axis=-1)[None]          # s2d(c1)
+        c1s2d = c1s2d[:half][None]      # s2d(c1), emitted by the kernel
         feats = encode_stages(ep, eb, None, stages, jnp.bfloat16,
                               pooled=pool[:half][None])
         if planar_head:

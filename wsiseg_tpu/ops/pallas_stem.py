@@ -241,7 +241,7 @@ def fold_stem_weights2(kernel, bn_scale, bn_bias, bn_mean, bn_var,
     return w336, bias
 
 
-def _stem2_kernel(img_hbm, w_ref, b_ref, cmask_ref, oe_ref, oo_ref,
+def _stem2_kernel(img_hbm, w_ref, b_ref, cmask_ref, s2d_ref,
                   pool_ref, scratch, patches, accbuf, shiftbuf, carry,
                   sem, *, w4: int):
     i = pl.program_id(0)
@@ -281,8 +281,12 @@ def _stem2_kernel(img_hbm, w_ref, b_ref, cmask_ref, oe_ref, oo_ref,
             preferred_element_type=jnp.float32)  # (w4, 128)
         v = jnp.maximum(acc + bias, 0.0)
         accbuf[y] = v
-        # rows alternate into the s2d even/odd halves
-        (oe_ref if y % 2 == 0 else oo_ref)[y // 2] = v.astype(jnp.bfloat16)
+        # rows alternate into the even/odd lane halves of ONE s2d output:
+        # channels [0:128] = even rows, [128:256] = odd — the tensor IS
+        # space_to_depth(c1), no downstream concat materialization
+        # (~800 MB/slide of canceled HBM traffic at bench geometry)
+        s2d_ref[y // 2, :, 128 * (y % 2):128 * (y % 2) + 128] = \
+            v.astype(jnp.bfloat16)
 
     # fused 3×3/2 SAME maxpool over the 8 fresh c1 rows (+1 carry row)
     cmask = cmask_ref[:]                         # (w4, 64) 0/1 f32
@@ -310,10 +314,12 @@ def stem_pool_conv(img12: jnp.ndarray, w336: jnp.ndarray,
     emission + 3×3/2 maxpool.
 
     img12: (Hin, 16, Wc4) uint8 per :func:`stem2_geometry` /
-    :func:`pack_image2`. Returns (c1_even, c1_odd, pool):
-      c1_even/odd  (h_pad/2, w_out/2, 128) bf16 — s2d(c1) halves (rows
-                   2P / 2P+1; concat on channels == space_to_depth(c1));
-      pool         (h_pad/2, w_out/2, 64) bf16 — maxpool3x3/2(c1).
+    :func:`pack_image2`. Returns (c1_s2d, pool):
+      c1_s2d  (h_pad/2, w_out/2, 256) bf16 — ``space_to_depth(c1)``
+              emitted directly (channels [0:128] even rows / [128:256]
+              odd, each half [even-col 64 | odd-col 64], i.e. channel
+              order (α·2+β)·64+c) — no host/XLA concat needed;
+      pool    (h_pad/2, w_out/2, 64) bf16 — maxpool3x3/2(c1).
     """
     hin, wc4, h_pad = stem2_geometry(h_out, w_out)
     assert img12.shape[0] >= hin and img12.shape[2] >= wc4, (
@@ -341,16 +347,13 @@ def stem_pool_conv(img12: jnp.ndarray, w336: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # cmask
         ],
         out_specs=(
-            pl.BlockSpec((_BR // 2, w4, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BR // 2, w4, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BR // 2, w4, 256), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BR // 2, w4, 64), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((half, w4, 128), jnp.bfloat16),
-            jax.ShapeDtypeStruct((half, w4, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((half, w4, 256), jnp.bfloat16),
             jax.ShapeDtypeStruct((half, w4, 64), jnp.bfloat16),
         ),
         scratch_shapes=[
