@@ -26,7 +26,8 @@ def train(cfg: Config) -> Trainer:
 
     wc, ws = cls_weights(cfg.train_image_pth, cfg)
     step = jax.jit(make_hybrid_train_step(
-        model, tx, cfg, cls_weights=jnp.asarray(wc), seg_weights=jnp.asarray(ws)))
+        model, tx, cfg, cls_weights=jnp.asarray(wc), seg_weights=jnp.asarray(ws)),
+        donate_argnums=0)   # old state buffers reused in-place
 
     ds = PatchDataset(cfg.train_image_pth, cfg)
 

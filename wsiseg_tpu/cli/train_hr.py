@@ -31,7 +31,8 @@ def train(cfg: Config, duplicate_dataset: int = 1) -> Trainer:
     weights = jnp.where(ratios > 0, 1.0 / jnp.maximum(ratios, 1e-8), 0.0)
     weights = weights / jnp.maximum(weights.max(), 1e-8)
 
-    step = jax.jit(make_hr_train_step(model, tx, cfg, class_weights=weights))
+    step = jax.jit(make_hr_train_step(model, tx, cfg, class_weights=weights),
+                   donate_argnums=0)   # old state buffers reused in-place
 
     validate_fn = None
     if cfg.val_hr_image_pth:

@@ -28,7 +28,8 @@ def train(cfg: Config) -> Trainer:
 
     wc, _ = cls_weights(cfg.train_image_pth, cfg, ignore_seg=True)
     step = jax.jit(make_cls_train_step(
-        model, tx, cfg, class_weights=jnp.asarray(wc), method=YNet.classify))
+        model, tx, cfg, class_weights=jnp.asarray(wc), method=YNet.classify),
+        donate_argnums=0)   # old state buffers reused in-place
 
     ds = PatchDataset(cfg.train_image_pth, cfg, duplicate_dataset=10)
 

@@ -46,7 +46,8 @@ def validate_ssr(model, variables, cfg: Config, dataset) -> dict:
 def train(cfg: Config, with_dice: bool = True) -> Trainer:
     model, tx, state, start_epoch = setup_ynet(cfg,
                                                tile_hw=(SSR_SIZE, SSR_SIZE))
-    step = jax.jit(make_seg_train_step(model, tx, cfg, with_dice=with_dice))
+    step = jax.jit(make_seg_train_step(model, tx, cfg, with_dice=with_dice),
+                   donate_argnums=0)   # old state buffers reused in-place
     ds = SSRSegDataset(cfg.train_image_pth, cfg)
 
     validate_fn = None
