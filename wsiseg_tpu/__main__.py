@@ -37,6 +37,27 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI run (opt out with
+    WSISEG_COMPILE_CACHE=0; set it to a path to relocate). First compiles
+    of the big dense-inference graphs take minutes through a remote
+    compile helper on some TPU attachments — the on-disk cache makes every
+    later process start warm."""
+    import os
+
+    d = os.environ.get("WSISEG_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/jax_comp"))
+    if not d or d == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:           # pragma: no cover - best effort
+        pass
+
+
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -48,6 +69,7 @@ def main(argv=None) -> None:
     if cmd not in COMMANDS:
         raise SystemExit(f"unknown command {cmd!r}; "
                          f"try: {', '.join(COMMANDS)}")
+    _enable_compile_cache()
     import importlib
     mod = importlib.import_module(COMMANDS[cmd][0])
     mod.main(argv[1:])
