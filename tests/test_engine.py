@@ -194,6 +194,29 @@ def test_fcn_fast_nofold_v2_stem_path(cfg, slide, model_and_vars):
     assert agree2 > 0.999
 
 
+def test_fcn_fast_resnet34(cfg, slide):
+    """The fast FCN path covers every BasicBlock encoder, not just
+    resnet18 (supports_infer_fast gates on the block class): resnet34's
+    (3, 4, 6, 3) stages run the same v2 stem + encode_stages +
+    decode_cells pipeline and agree with the chunked flax path."""
+    cfg34 = default_config(
+        tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
+        tile_stride_h=STRIDE, compute_dtype="float32",
+        infer_batch_size=8, arch_encoder="resnet34",
+        val_save_pth=cfg.val_save_pth, wsi_mask_pth=cfg.wsi_mask_pth)
+    model, variables = init_ynet(cfg34, jax.random.PRNGKey(3),
+                                 tile_hw=(TILE, TILE))
+    plan = plan_slide("syn", slide, cfg34, mask_cache_dir=cfg34.wsi_mask_pth)
+    engine = DenseInferenceEngine(model, variables, cfg34)
+    engine.fcn_fast_interpret = True
+    assert engine._fcn_fast_ok()
+
+    fast_res = engine.predict_slide_fcn(plan)
+    flax_res = engine.predict_slide_fcn(plan, chunk=4096, halo=16)
+    agree = (fast_res.labels == flax_res.labels).mean()
+    assert agree > 0.95, f"resnet34 fast/flax agreement too low: {agree}"
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""
