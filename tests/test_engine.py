@@ -217,6 +217,39 @@ def test_fcn_fast_resnet34(cfg, slide):
     assert agree > 0.95, f"resnet34 fast/flax agreement too low: {agree}"
 
 
+def test_predict_slides_fcn_group_matches_per_slide(cfg, model_and_vars):
+    """Multi-slide serving (one fused dispatch per group) returns exactly
+    the per-slide results; the pipelined evaluator grouping preserves
+    (name, result) pairing."""
+    from wsiseg_tpu.infer.evaluators import _pipelined_results
+
+    model, variables = model_and_vars
+    slides = [SyntheticSlide(width=4096, height=3072, num_levels=3, seed=s)
+              for s in (21, 22)]
+    plans = [plan_slide(f"s{k}", s, cfg, mask_cache_dir=None)
+             for k, s in enumerate(slides)]
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True
+
+    singles = [engine.predict_slide_fcn(p) for p in plans]
+    grouped = engine.predict_slides_fcn(plans)
+    for s, g in zip(singles, grouped):
+        np.testing.assert_array_equal(s.labels, g.labels)
+        np.testing.assert_allclose(s.heatmap, g.heatmap, atol=1e-6)
+
+    # evaluator grouping path (slides_in_flight > 1)
+    engine.slides_in_flight = 2
+
+    class _Coll:
+        def items(self):
+            return [(p.name, p) for p in plans]
+
+    out = list(_pipelined_results(engine, _Coll(), fcn=True))
+    assert [n for n, _, _ in out] == ["s0", "s1"]
+    for (_, _, res), s in zip(out, singles):
+        np.testing.assert_array_equal(res.labels, s.labels)
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""

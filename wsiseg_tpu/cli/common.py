@@ -132,6 +132,11 @@ def parse_eval_flags(argv):
                    help="host-streamed tile decode (level-0/1 scans too "
                         "big for an HBM-resident level image); combines "
                         "with --sharded into the row-sharded canvas path")
+    p.add_argument("--slides_in_flight", type=int, default=4,
+                   help="FCN fast path: serve up to N consecutive "
+                        "same-geometry slides as ONE fused dispatch "
+                        "(amortizes fixed per-dispatch cost; measured "
+                        "sweep in scripts/exp_r3h.py). 1 disables")
     ns, rest = p.parse_known_args(argv)
     if ns.fcn and (ns.grid or ns.streamed or ns.sharded):
         p.error("--fcn is mutually exclusive with --grid/--streamed/"

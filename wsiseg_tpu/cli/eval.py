@@ -19,9 +19,10 @@ from wsiseg_tpu.train.state import TrainState
 
 
 def _eval(cfg: Config, fcn: bool = False, sharded: bool = False,
-          streamed: bool = False) -> dict:
+          streamed: bool = False, slides_in_flight: int = 1) -> dict:
     model, state, epoch = restore_for_eval(cfg)
     engine = DenseInferenceEngine(model, variables_of(state), cfg)
+    engine.slides_in_flight = slides_in_flight
     from wsiseg_tpu.cli.common import make_eval_mesh
     mesh = make_eval_mesh(cfg) if sharded else None
     results = {}
@@ -37,7 +38,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from wsiseg_tpu.cli.common import parse_eval_flags
     ns, rest = parse_eval_flags(argv)
     _eval(parse_args(rest), fcn=ns.fcn, sharded=ns.sharded,
-          streamed=ns.streamed)
+          streamed=ns.streamed, slides_in_flight=ns.slides_in_flight)
 
 
 if __name__ == "__main__":

@@ -89,20 +89,48 @@ def _pipelined_results(engine: DenseInferenceEngine,
             for name, plan in items:
                 yield name, plan, engine.predict_slide_fcn(plan)
             return
-        # one-ahead staging: slide k+1's host decode + padded relay upload
-        # (engine.stage_slide_fcn) overlap slide k's compute — the e2e
-        # path is transfer-bound (~40-50 MB/s relay vs ~60 ms compute),
-        # so steady-state multi-slide e2e approaches the transfer floor
+        # one-ahead staging: the next group's host decode + padded relay
+        # upload (engine.stage_slide_fcn) overlap the current group's
+        # compute — the e2e path is transfer-bound (~40-50 MB/s relay vs
+        # ~60 ms compute), so steady-state multi-slide e2e approaches the
+        # transfer floor. Groups of up to ``engine.slides_in_flight``
+        # consecutive same-geometry slides run as ONE fused dispatch
+        # (engine.predict_slides_fcn — the serving configuration; sweep
+        # in scripts/exp_r3h.py).
         from concurrent.futures import ThreadPoolExecutor
+        n_flight = max(1, int(getattr(engine, "slides_in_flight", 1)))
+        groups, cur, cur_key = [], [], None
+        for it in items:
+            plan = it[1]
+            key = (engine._fcn_planar_ok(plan),
+                   engine._fcn_fast_dims(*plan.stitch_hw))
+            if cur and (len(cur) == n_flight or key != cur_key
+                        or not key[0]):
+                groups.append(cur)
+                cur = []
+            cur_key = key
+            cur.append(it)
+        if cur:
+            groups.append(cur)
+
         with ThreadPoolExecutor(max_workers=1) as pool:
-            staged = (pool.submit(engine.stage_slide_fcn, items[0][1])
-                      if items else None)
-            for idx, (name, plan) in enumerate(items):
-                nxt = (pool.submit(engine.stage_slide_fcn, items[idx + 1][1])
-                       if idx + 1 < len(items) else None)
-                res = engine.predict_slide_fcn(plan, img=staged.result())
+            def stage_group(g):
+                return [engine.stage_slide_fcn(p) for _, p in g]
+
+            staged = pool.submit(stage_group, groups[0]) if groups else None
+            for gi, g in enumerate(groups):
+                nxt = (pool.submit(stage_group, groups[gi + 1])
+                       if gi + 1 < len(groups) else None)
+                imgs = staged.result()
+                if len(g) == 1:
+                    res_list = [engine.predict_slide_fcn(g[0][1],
+                                                         img=imgs[0])]
+                else:
+                    res_list = engine.predict_slides_fcn(
+                        [p for _, p in g], imgs=imgs)
                 staged = nxt
-                yield name, plan, res
+                for (name, plan), res in zip(g, res_list):
+                    yield name, plan, res
         return
     # one-ahead staging on a worker thread: overlaps BOTH the host-side
     # level decode and the H2D upload with the current slide's compute
