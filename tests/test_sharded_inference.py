@@ -93,3 +93,26 @@ def test_streamed_sharded_cls_mode(setup):
                                                    keep_canvas=True)
     res_single = eng_ss.predict_slide(plan, keep_canvas=True)
     np.testing.assert_allclose(res_ss.canvas, res_single.canvas, atol=1e-5)
+
+
+def test_slide_parallel_fcn_matches_per_slide(setup):
+    """SLIDE-PARALLEL serving (predict_slides_fcn_sharded): 8 slides, one
+    per device, through the fused FCN dispatch under shard_map — every
+    per-slide result equals the single-device fast path exactly."""
+    cfg, model, variables, plan, mesh = setup
+    from wsiseg_tpu.data.wsi_tiles import plan_slide as _plan
+
+    slides = [SyntheticSlide(width=2048, height=1536, num_levels=3, seed=s)
+              for s in range(30, 38)]
+    plans = [_plan(f"p{k}", s, cfg, mask_cache_dir=None)
+             for k, s in enumerate(slides)]
+    assert all(p is not None for p in plans)
+
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True
+    sharded = engine.predict_slides_fcn_sharded(plans, mesh)
+    assert len(sharded) == 8
+    for p, res in zip(plans[:3], sharded[:3]):   # 3 singles keep CPU time sane
+        single = engine.predict_slide_fcn(p)
+        np.testing.assert_array_equal(res.labels, single.labels)
+        np.testing.assert_allclose(res.heatmap, single.heatmap, atol=1e-6)

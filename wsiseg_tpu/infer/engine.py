@@ -268,23 +268,13 @@ class DenseInferenceEngine:
                   if (keep_probs or keep_canvas) else None)
         return labels_p, heat_p, extras
 
-    def _fused_planar_run(self, *, raw: bool, fold: bool, interp: bool,
-                          hp: int, wp: int, n_slides: int = 1) -> Callable:
-        """ONE-dispatch whole-image runner: (variables, staged, mask2) →
-        (labels_p, heat_p). Fuses (optional device-side stem packing) +
-        forward + s2d postprocess into a single jit so the steady-state
-        path pays one launch round-trip per slide instead of two (the TPU
-        sits behind a network relay here) and XLA can overlap the
-        postprocess slabs with the decoder tail. Memoized per geometry.
-
-        ``n_slides > 1``: ``staged`` carries a leading slide axis and the
-        whole batch runs as one dispatch (returns a list of per-slide
-        outputs) — multi-slide serving amortizes fixed per-dispatch costs
-        (measured v5e: 56.8 → 53.9 ms/slide at n=2, scripts/exp_r3f.py)."""
-        key = ("fused", raw, fold, interp, hp, wp, n_slides, self.mode)
-        if key in self._sharded_cache:
-            return self._sharded_cache[key]
-
+    def _make_fused_run_one(self, *, raw: bool, fold: bool, interp: bool,
+                            hp: int, wp: int) -> Callable:
+        """Un-jitted single-slide fused body: (variables, staged, mask2) →
+        (labels_p, heat_p) with (optional) device-side stem packing +
+        forward + s2d postprocess + 2-bit label packing. Composed into
+        jits by :meth:`_fused_planar_run` (1..n slides per dispatch) and
+        :meth:`_sharded_fcn_run` (slide-parallel shard_map)."""
         from wsiseg_tpu.models.infer_fast import (_segment_from_packed,
                                                   pack_for_stem2_device,
                                                   pack_for_stem_device)
@@ -311,6 +301,28 @@ class DenseInferenceEngine:
                             | (labels_p[2 * g:3 * g] << 4)
                             | (labels_p[3 * g:] << 6))
             return labels_p, heat_p
+
+        return run_one
+
+    def _fused_planar_run(self, *, raw: bool, fold: bool, interp: bool,
+                          hp: int, wp: int, n_slides: int = 1) -> Callable:
+        """ONE-dispatch whole-image runner: (variables, staged, mask2) →
+        (labels_p, heat_p). Fuses (optional device-side stem packing) +
+        forward + s2d postprocess into a single jit so the steady-state
+        path pays one launch round-trip per slide instead of two (the TPU
+        sits behind a network relay here) and XLA can overlap the
+        postprocess slabs with the decoder tail. Memoized per geometry.
+
+        ``n_slides > 1``: ``staged`` carries a leading slide axis and the
+        whole batch runs as one dispatch (returns a list of per-slide
+        outputs) — multi-slide serving amortizes fixed per-dispatch costs
+        (measured v5e: 56.8 → 53.9 ms/slide at n=2, scripts/exp_r3f.py)."""
+        key = ("fused", raw, fold, interp, hp, wp, n_slides, self.mode)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        run_one = self._make_fused_run_one(raw=raw, fold=fold,
+                                           interp=interp, hp=hp, wp=wp)
 
         if n_slides == 1:
             fn = jax.jit(run_one)
@@ -834,6 +846,95 @@ class DenseInferenceEngine:
             results.append(SlideResult(p.name, labels, heat,
                                        len(p.grid), per))
         return results
+
+    def predict_slides_fcn_sharded(self, plans, mesh, axis: str = "data",
+                                   imgs=None):
+        """SLIDE-PARALLEL multi-chip serving: every device runs the fused
+        whole-image FCN dispatch on its own slide(s) — the pod-scale
+        throughput mode (scales ~linearly with mesh size; zero inter-chip
+        communication). Contrast :meth:`predict_slide_sharded`, which
+        splits ONE slide's tile stream across devices (the latency mode).
+        The reference processes slides strictly serially on one GPU
+        (utils/eval.py:174-177).
+
+        Requires ``len(plans)`` divisible by the mesh axis size, identical
+        padded fast-path geometry, and the planar fast path. ``imgs``
+        optionally supplies pre-read padded HOST images (numpy),
+        index-aligned with ``plans``.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        plans = list(plans)
+        n_dev = mesh.shape[axis]
+        dims = {self._fcn_fast_dims(*p.stitch_hw) for p in plans}
+        if (not plans or len(plans) % n_dev or len(dims) != 1
+                or not self._fcn_fast_ok()
+                or not all(self._fcn_planar_ok(p) for p in plans)):
+            raise ValueError(
+                "slide-parallel serving needs k*n_dev slides of identical "
+                "padded geometry on the planar fast path; use "
+                "predict_slides_fcn / predict_slide_fcn otherwise")
+
+        from wsiseg_tpu.models.fast_decoder import S2D_HEAD_F
+
+        t0 = time.time()
+        (hp, wp), = dims
+        fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+        interp = getattr(self, "fcn_fast_interpret", False)
+        f = 2 if fold else S2D_HEAD_F
+        masks = np.stack([np.asarray(self._half_mask(p, (hp // f, wp // f)))
+                          for p in plans])
+        if imgs is None:
+            imgs = [self._read_padded_level(p) for p in plans]
+        sh = NamedSharding(mesh, P(axis))
+        staged = jax.device_put(np.stack([np.asarray(i) for i in imgs]), sh)
+        masks_d = jax.device_put(masks, sh)
+        per = len(plans) // n_dev
+        run = self._sharded_fcn_run(mesh, axis, hp, wp, per, fold, interp)
+        variables_r = jax.device_put(self.variables,
+                                     NamedSharding(mesh, P()))
+        labels, heat = jax.block_until_ready(
+            run(variables_r, staged, masks_d))
+        per_t = (time.time() - t0) / len(plans)
+        results = []
+        for i, p in enumerate(plans):
+            hs, ws = p.stitch_hw
+            lab4 = self._unpack_labels(np.asarray(labels[i]), f * f)
+            results.append(SlideResult(
+                p.name, self._interleave4(lab4, hs, ws),
+                self._interleave4(np.asarray(heat[i]), hs,
+                                  ws).astype(np.float32) / 255.0,
+                len(p.grid), per_t))
+        return results
+
+    def _sharded_fcn_run(self, mesh, axis: str, hp: int, wp: int, per: int,
+                         fold: bool, interp: bool) -> Callable:
+        """Compiled slide-parallel fused runner, memoized per (mesh,
+        geometry): shard_map over the slide axis, each device serving
+        ``per`` slides through the fused single-slide body."""
+        key = ("fcn_slides", id(mesh), axis, hp, wp, per, fold, interp,
+               self.mode)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        run_one = self._make_fused_run_one(raw=True, fold=fold,
+                                           interp=interp, hp=hp, wp=wp)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis)),
+                 out_specs=(P(axis), P(axis)), check_vma=False)
+        def run(variables, staged, mask2):
+            outs = [run_one(variables, staged[k], mask2[k])
+                    for k in range(per)]
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
+
+        fn = jax.jit(run)
+        self._sharded_cache[key] = fn
+        return fn
 
     def predict_slide_sharded(self, plan: SlidePlan, mesh,
                               axis: str = "data",
