@@ -250,6 +250,27 @@ def test_predict_slides_fcn_group_matches_per_slide(cfg, model_and_vars):
         np.testing.assert_array_equal(res.labels, s.labels)
 
 
+def test_fcn_oversize_falls_back_to_chunks(cfg, slide, model_and_vars):
+    """Slides whose padded pixel count exceeds engine.fcn_fast_max_px are
+    routed to halo-padded chunk tiling (default 4096-px chunks) instead of
+    OOMing the whole-image fused dispatch; grouped serving degrades to
+    per-slide chunked without error."""
+    model, variables = model_and_vars
+    plan = plan_slide("syn", slide, cfg, mask_cache_dir=None)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True
+    fast = engine.predict_slide_fcn(plan)
+
+    engine.fcn_fast_max_px = 1000            # force the oversize route
+    chunked = engine.predict_slide_fcn(plan)
+    agree = (fast.labels == chunked.labels).mean()
+    assert agree > 0.95, f"oversize-route agreement too low: {agree}"
+
+    res = engine.predict_slides_fcn([plan, plan])
+    assert len(res) == 2
+    np.testing.assert_array_equal(res[0].labels, chunked.labels)
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""

@@ -763,6 +763,14 @@ class DenseInferenceEngine:
         seg = seg * valid[:, None, None, None]
         return scatter_add_tiles(canvas, seg, ys, xs)
 
+    def _fcn_fast_fits(self, plan: SlidePlan) -> bool:
+        """Whole-image fused dispatch fits HBM: ~300 B of activations per
+        padded pixel (c1s2d 128 B/px dominates, decoder s2d stages the
+        rest), so the default 32M-px cap keeps the dispatch ≈10 GB on a
+        16 GB chip. Override with ``engine.fcn_fast_max_px``."""
+        hp, wp = self._fcn_fast_dims(*plan.stitch_hw)
+        return hp * wp <= int(getattr(self, "fcn_fast_max_px", 32_000_000))
+
     def predict_slide_fcn(self, plan: SlidePlan, chunk=None,
                           halo: int = 128, keep_canvas: bool = False,
                           keep_probs: bool = False,
@@ -776,16 +784,31 @@ class DenseInferenceEngine:
         whole image as ONE fused dispatch (Pallas stem + functional net);
         an int ``chunk`` uses halo-padded chunk tiling through the flax
         path. ``img`` accepts a pre-staged padded device image from
-        :meth:`stage_slide_fcn` (multi-slide upload/compute overlap)."""
-        if chunk is None and self._fcn_fast_ok():
+        :meth:`stage_slide_fcn` (multi-slide upload/compute overlap).
+
+        Slides whose scan-level pixel count exceeds
+        ``fcn_fast_max_px`` (default 32M px ≈ 2.7× the bench slide; the
+        whole-image dispatch holds ~300 B of activations per pixel, so
+        32M px ≈ 10 GB of a 16 GB v5e HBM) are routed to halo-padded
+        chunk tiling automatically with a 4096-px default chunk instead
+        of OOMing the fused dispatch."""
+        if chunk is None and self._fcn_fast_ok() \
+                and self._fcn_fast_fits(plan):
             return self._predict_fcn_fast(plan, keep_canvas, keep_probs,
                                           img=img)
         cfg = self.cfg
         t0 = time.time()
-        img = plan.slide.read_level(cfg.scan_level)
+        if img is not None:
+            # pre-staged device array from stage_slide_fcn: recover numpy
+            # (the chunked path slices + pads host-side)
+            img = np.asarray(img)
+        else:
+            img = plan.slide.read_level(cfg.scan_level)
         h, w = img.shape[:2]
         hs, ws = plan.stitch_hw
 
+        if chunk is None and not self._fcn_fast_fits(plan):
+            chunk = 4096                    # bench-scale chunks, ~12% halo
         ch, cw, ny, nx = self._fcn_geometry(h, w, chunk, halo)
         img_pad = np.pad(
             img, ((halo, halo + ny * ch - h),
@@ -813,7 +836,8 @@ class DenseInferenceEngine:
         plans = list(plans)
         dims = {self._fcn_fast_dims(*p.stitch_hw) for p in plans}
         if (len(plans) == 1 or len(dims) != 1 or not self._fcn_fast_ok()
-                or not all(self._fcn_planar_ok(p) for p in plans)):
+                or not all(self._fcn_planar_ok(p)
+                           and self._fcn_fast_fits(p) for p in plans)):
             return [self.predict_slide_fcn(
                 p, img=None if imgs is None else imgs[k])
                 for k, p in enumerate(plans)]
@@ -869,7 +893,8 @@ class DenseInferenceEngine:
         dims = {self._fcn_fast_dims(*p.stitch_hw) for p in plans}
         if (not plans or len(plans) % n_dev or len(dims) != 1
                 or not self._fcn_fast_ok()
-                or not all(self._fcn_planar_ok(p) for p in plans)):
+                or not all(self._fcn_planar_ok(p)
+                           and self._fcn_fast_fits(p) for p in plans)):
             raise ValueError(
                 "slide-parallel serving needs k*n_dev slides of identical "
                 "padded geometry on the planar fast path; use "

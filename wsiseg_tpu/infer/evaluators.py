@@ -102,7 +102,8 @@ def _pipelined_results(engine: DenseInferenceEngine,
         groups, cur, cur_key = [], [], None
         for it in items:
             plan = it[1]
-            key = (engine._fcn_planar_ok(plan),
+            key = (engine._fcn_planar_ok(plan)
+                   and engine._fcn_fast_fits(plan),
                    engine._fcn_fast_dims(*plan.stitch_hw))
             if cur and (len(cur) == n_flight or key != cur_key
                         or not key[0]):
@@ -115,7 +116,12 @@ def _pipelined_results(engine: DenseInferenceEngine,
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             def stage_group(g):
-                return [engine.stage_slide_fcn(p) for _, p in g]
+                # oversized slides route to the chunked path, which packs
+                # host-side — stage the padded HOST image for them (a
+                # device upload would bounce straight back as D2H)
+                return [engine.stage_slide_fcn(p)
+                        if engine._fcn_fast_fits(p)
+                        else engine._read_padded_level(p) for _, p in g]
 
             staged = pool.submit(stage_group, groups[0]) if groups else None
             for gi, g in enumerate(groups):
