@@ -271,6 +271,26 @@ def test_fcn_oversize_falls_back_to_chunks(cfg, slide, model_and_vars):
     np.testing.assert_array_equal(res[0].labels, chunked.labels)
 
 
+def test_pipelined_oversize_staging_matches_per_slide(cfg, slide,
+                                                      model_and_vars):
+    """The production pipelined evaluator stages oversized slides as
+    padded HOST images (not device arrays) and routes them through the
+    chunked path — results must equal a direct per-slide call."""
+    from wsiseg_tpu.infer.evaluators import _pipelined_results
+    model, variables = model_and_vars
+    coll = SlideCollection([("a", slide), ("b", slide)], cfg,
+                           mask_cache_dir=None)
+    engine = DenseInferenceEngine(model, variables, cfg)
+    engine.fcn_fast_interpret = True
+    engine.fcn_fast_max_px = 1000            # every slide is "oversized"
+    engine.slides_in_flight = 2
+    outs = {n: r for n, _, r in _pipelined_results(engine, coll, fcn=True)}
+    assert set(outs) == {"a", "b"}
+    ref = engine.predict_slide_fcn(coll.plans["a"])
+    np.testing.assert_array_equal(outs["a"].labels, ref.labels)
+    np.testing.assert_array_equal(outs["b"].labels, ref.labels)
+
+
 def test_fcn_mode_agrees_on_interior(cfg, slide, model_and_vars):
     """ScanNet-style FCN output approximates grid overlap-add on tissue
     interior (translation-equivariance up to padding/edge effects)."""
