@@ -103,12 +103,13 @@ def main():
 
     # multi-slide serving steady state: several resident slides per
     # dispatch (amortizes fixed per-dispatch cost; per-slide time
-    # reported). Sweep (scripts/exp_r3h.py, v5e): 1/2/3/4/6 in flight =
-    # 10777/11266/11470/11558/11724 p/s — monotonic but flattening; 6
-    # stages ~1.6 GB of packed inputs, comfortably inside 16 GB HBM.
+    # reported). Sweeps (scripts/exp_r3h.py + exp_r3m.py, v5e):
+    # 1/2/3/4/6 = 10777/11266/11470/11558/11724 p/s and
+    # 6/8/10/12 = 12002/11883/12077/12105 — flat past 6, best at 12;
+    # 12 stages ~3.2 GB of packed inputs, comfortably inside 16 GB HBM.
     try:
         fcn_dev2 = engine.device_throughput(plan, mode="fcn", iters=3,
-                                            slides_in_flight=6)
+                                            slides_in_flight=12)
     except Exception as e:
         import sys
         print(f"x2 device_throughput failed: {e!r}", file=sys.stderr)
@@ -196,7 +197,7 @@ def main():
         "model_tflop_per_slide": round(model_tflop, 3),
         "peak_tflops": peak,
         "fcn_device_patches_per_sec": round(fcn_dev["patches_per_sec"], 1),
-        "fcn_device_x6_patches_per_sec":
+        "fcn_device_x12_patches_per_sec":
             round(fcn_dev2["patches_per_sec"], 1),
         "fcn_device_rawpack_patches_per_sec":
             round(raw_dev["patches_per_sec"], 1),
