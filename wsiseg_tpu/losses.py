@@ -45,12 +45,55 @@ def _flatten_logits(logits: Array, targets: Array):
     return logits.reshape(-1, c), targets.reshape(-1)
 
 
+def _xent_class_major(logits: Array, targets: Array,
+                      class_weights: Optional[Array],
+                      ignore_index: int,
+                      sample_weight: Optional[Array]) -> Array:
+    """Spatial softmax CE computed with classes in the MAJOR axis.
+
+    The flattened ``(N, C)`` form puts C in the minor (lane) dimension; at
+    the segmentation head's C=4 that wastes 31/32 lanes of every elementwise
+    op and lowers the label pick to a gather — measured +62 ms per forward
+    at batch 16 × 512² on v5e (scripts/exp_r3n/o). Moving classes to the
+    front keeps the big spatial dims on the (sublane, lane) tile and turns
+    the pick into C unrolled selects. Same math as the flat path.
+    """
+    c = logits.shape[-1]
+    lp = jnp.moveaxis(logits, -1, 0)                    # (C, B, H, W)
+    m = jnp.max(lp, axis=0)
+    lse = jnp.log(jnp.sum(jnp.exp(lp - m), axis=0)) + m
+    valid = targets != ignore_index
+    t = jnp.where(valid, targets, 0)
+    picked = jnp.zeros_like(lse)
+    wsel = None if class_weights is None else jnp.zeros_like(lse)
+    cw = (None if class_weights is None
+          else jnp.asarray(class_weights, lp.dtype))
+    for k in range(c):                                  # C small: unrolled
+        sel = t == k
+        picked = picked + jnp.where(sel, lp[k], 0)
+        if wsel is not None:
+            wsel = wsel + jnp.where(sel, cw[k], 0)
+    nll = lse - picked
+    w = valid.astype(lp.dtype)
+    if wsel is not None:
+        w = w * wsel
+    if sample_weight is not None:
+        sw = sample_weight.reshape(
+            sample_weight.shape + (1,) * (targets.ndim - sample_weight.ndim))
+        w = w * jnp.broadcast_to(sw, targets.shape).astype(lp.dtype)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 def cross_entropy(logits: Array, targets: Array,
                   class_weights: Optional[Array] = None,
                   ignore_index: int = -1,
                   sample_weight: Optional[Array] = None) -> Array:
     """Weighted softmax CE with ignore_index (torch nn.CrossEntropyLoss
     semantics: weighted mean divides by the sum of applied class weights)."""
+    if targets.ndim >= 2 and logits.shape[-1] <= 16:
+        # dense/spatial targets: lane-efficient class-major path
+        return _xent_class_major(logits, targets, class_weights,
+                                 ignore_index, sample_weight)
     lf, tf = _flatten_logits(logits, targets)
     valid = (tf != ignore_index)
     t = jnp.where(valid, tf, 0)
