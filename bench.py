@@ -185,6 +185,62 @@ def main():
         import sys
         print(f"pipelined e2e failed: {e!r}", file=sys.stderr)
 
+    # training-step throughput (the other hot path): hybrid three-head
+    # step, bf16 compute / f32 BN, batch 32 at 512² — the measured sweet
+    # spot (scripts/bench_train.py: b16/32/64 = 134/146/129 p/s after the
+    # class-major loss fix; was 88 with the lane-starved (N, C) losses)
+    train_pps = train_ms = train_mfu = None
+    if on_tpu:
+        try:
+            from wsiseg_tpu.optim import build_optimizer
+            from wsiseg_tpu.train.state import TrainState
+            from wsiseg_tpu.train.steps import make_hybrid_train_step
+            tb = 32
+            cfg_t = default_config(compute_dtype="bfloat16",
+                                   norm_dtype="float32", lr=1e-4)
+            model_t, vars_t = init_ynet(cfg_t, jax.random.PRNGKey(0))
+            tx = build_optimizer(cfg_t)
+            state_t = TrainState.create(vars_t, tx)
+            step_t = jax.jit(make_hybrid_train_step(model_t, tx, cfg_t),
+                             donate_argnums=0)
+            rng_t = np.random.RandomState(7)
+            tbatch = {
+                "image": jax.device_put(
+                    rng_t.randn(tb, 512, 512, 3).astype(np.float32)),
+                "seg_label": jax.device_put(
+                    rng_t.randint(0, cfg_t.num_classes, (tb, 512, 512))
+                    .astype(np.int32)),
+                "cls_label": jax.device_put(
+                    np.tile(np.array([1, -1], np.int32), tb // 2)),
+                "reg_label": jax.device_put(
+                    rng_t.rand(tb).astype(np.float32)),
+                "is_cls": jax.device_put(
+                    np.tile(np.array([1.0, 0.0], np.float32), tb // 2)),
+                "is_reg": jax.device_put(
+                    np.tile(np.array([0.0, 1.0], np.float32), tb // 2)),
+                "is_seg": jax.device_put(
+                    np.tile(np.array([0.0, 1.0], np.float32), tb // 2)),
+            }
+            rkey = jax.random.PRNGKey(1)
+            state_t, m = step_t(state_t, tbatch, rkey)   # compile + warm
+            state_t, m = step_t(state_t, tbatch, rkey)
+            float(m["loss"])
+            t0 = _time.time()
+            iters_t = 8
+            for _ in range(iters_t):
+                state_t, m = step_t(state_t, tbatch, rkey)
+            float(m["loss"])
+            dt_t = (_time.time() - t0) / iters_t
+            train_ms = dt_t * 1e3
+            train_pps = tb / dt_t
+            step_tflop = 3.0 * dense_forward_flops(
+                model_t.arch, 512, 512, cfg_t.num_classes) / 1e12
+            train_mfu = train_pps * step_tflop / peak
+            del state_t, tbatch
+        except Exception as e:
+            import sys
+            print(f"train throughput failed: {e!r}", file=sys.stderr)
+
     value = max(fcn_dev["patches_per_sec"], fcn_dev2["patches_per_sec"],
                 raw_dev["patches_per_sec"], grid_dev["patches_per_sec"])
     print(json.dumps({
@@ -215,6 +271,10 @@ def main():
         if np.isfinite(fcn_e2e_sec) else None,
         "fcn_e2e_pipelined_sec_per_slide": round(pipe_sec, 2)
         if np.isfinite(pipe_sec) else None,
+        "train_patches_per_sec": round(train_pps, 1) if train_pps else None,
+        "train_step_ms": round(train_ms, 1) if train_ms else None,
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_batch": 32,
         "num_tiles": len(plan.grid),
         "tile": [cfg.tile_h, cfg.tile_w],
         "stride": [cfg.tile_stride_h, cfg.tile_stride_w],

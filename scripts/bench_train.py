@@ -68,27 +68,32 @@ def main():
         step = jax.jit(make_hybrid_train_step(model, tx, cfg),
                        donate_argnums=0)
         for b in (16, 32, 64):
-            # step donates its state arg, so hand each config a fresh copy
-            # of the init variables (donation deletes the originals).
-            state = TrainState.create(
-                jax.tree_util.tree_map(jnp.copy, variables), tx)
-            batch = make_batch(b, tile)
-            rng = jax.random.PRNGKey(1)
-            state, m = step(state, batch, rng)         # compile + warm
-            state, m = step(state, batch, rng)
-            float(m["loss"])
-            iters = 10
-            t0 = time.time()
-            for _ in range(iters):
+            try:
+                # step donates its state arg, so hand each config a fresh
+                # copy of the init variables (donation deletes the
+                # originals).
+                state = TrainState.create(
+                    jax.tree_util.tree_map(jnp.copy, variables), tx)
+                batch = make_batch(b, tile)
+                rng = jax.random.PRNGKey(1)
+                state, m = step(state, batch, rng)     # compile + warm
                 state, m = step(state, batch, rng)
-            float(m["loss"])                           # drain the queue
-            dt = (time.time() - t0) / iters
-            pps = b / dt
-            tflops = pps * step_tflop_per_patch
-            print(f"hybrid {dtype:8s} b={b:3d}: {dt * 1e3:7.1f} ms/step  "
-                  f"{pps:8.1f} patches/s  {tflops:6.1f} TFLOP/s  "
-                  f"mfu {tflops / peak:.3f}", flush=True)
-            del state, batch
+                float(m["loss"])
+                iters = 10
+                t0 = time.time()
+                for _ in range(iters):
+                    state, m = step(state, batch, rng)
+                float(m["loss"])                       # drain the queue
+                dt = (time.time() - t0) / iters
+                pps = b / dt
+                tflops = pps * step_tflop_per_patch
+                print(f"hybrid {dtype:8s} b={b:3d}: {dt * 1e3:7.1f} ms/step  "
+                      f"{pps:8.1f} patches/s  {tflops:6.1f} TFLOP/s  "
+                      f"mfu {tflops / peak:.3f}", flush=True)
+                del state, batch
+            except Exception as e:   # OOM / transient remote-compile 500s
+                print(f"hybrid {dtype:8s} b={b:3d}: FAILED {e!r:.120}",
+                      flush=True)
     print("done", flush=True)
 
 

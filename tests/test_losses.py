@@ -161,3 +161,42 @@ def test_factory():
     assert float(losses.loss_fn("zeroloss")(None, None)) == 0.0
     with pytest.raises(KeyError):
         losses.loss_fn("nope")
+
+
+@pytest.mark.parametrize("name,kwargs,ignore", [
+    ("cross_entropy", {}, False),
+    ("cross_entropy", {"cw": True, "sw": True}, True),
+    ("focal", {}, False),
+    ("focal", {"cw": True, "sw": True}, False),
+    ("ohem", {}, False),
+    ("ohem", {"sw": True}, False),
+    ("conditional_entropy_ce", {"cw": True, "sw": True}, False),
+    ("dice", {"cw": True, "sw": True, "ignore_index": -1}, True),
+    ("jaccard", {"sw": True}, False),
+    ("tversky", {"alpha": 0.7, "beta": 1.3}, False),
+])
+def test_class_major_equals_flat(rng, monkeypatch, name, kwargs, ignore):
+    """The lane-efficient class-major spatial paths (used when
+    targets.ndim >= 2 and C <= 16) must match the legacy flattened (N, C)
+    formulation bit-for-nearly-bit, values AND gradients."""
+    B, H, W, C = 3, 9, 11, 4
+    logits = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    lo = -1 if ignore else 0
+    targets = jnp.asarray(rng.randint(lo, C, (B, H, W)).astype(np.int32))
+    kw = dict(kwargs)
+    if kw.pop("cw", False):
+        kw["class_weights"] = jnp.asarray(rng.rand(C).astype(np.float32))
+    if kw.pop("sw", False):
+        kw["sample_weight"] = jnp.asarray(rng.rand(B).astype(np.float32))
+    fn = getattr(losses, name)
+
+    monkeypatch.setattr(losses, "_use_class_major", lambda *a: True)
+    v_cm = float(fn(logits, targets, **kw))
+    g_cm = jax.grad(lambda l: fn(l, targets, **kw))(logits)
+    monkeypatch.setattr(losses, "_use_class_major", lambda *a: False)
+    v_flat = float(fn(logits, targets, **kw))
+    g_flat = jax.grad(lambda l: fn(l, targets, **kw))(logits)
+
+    np.testing.assert_allclose(v_cm, v_flat, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g_cm), np.asarray(g_flat),
+                               atol=2e-6)

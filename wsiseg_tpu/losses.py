@@ -45,42 +45,61 @@ def _flatten_logits(logits: Array, targets: Array):
     return logits.reshape(-1, c), targets.reshape(-1)
 
 
+def _use_class_major(logits: Array, targets: Array) -> bool:
+    """Dense/spatial targets with few classes: compute class-major.
+
+    The flattened ``(N, C)`` layout puts C in the minor (lane) dimension;
+    at segmentation-head widths (C=4) that wastes 31/32 lanes of every
+    elementwise op and lowers label picks to gathers — measured +62 ms
+    per forward at batch 16 × 512² on v5e (scripts/exp_r3n/o/p)."""
+    return targets.ndim >= 2 and logits.shape[-1] <= 16
+
+
+def _cm_logprob_parts(logits: Array):
+    """(lp, lse): class-major logits (C, ...) and their logsumexp (...).
+
+    log p_k = lp[k] - lse; p_k = exp(lp[k] - lse)."""
+    lp = jnp.moveaxis(logits, -1, 0)
+    m = jnp.max(lp, axis=0)
+    lse = jnp.log(jnp.sum(jnp.exp(lp - m), axis=0)) + m
+    return lp, lse
+
+
+def _cm_select(t: Array, lp: Array, values=None) -> Array:
+    """Σ_k (t==k)·x_k without a gather: C unrolled selects.
+
+    ``values=None`` picks lp[k] (the label logit); a 1-D ``values`` array
+    picks values[k] (per-class weights)."""
+    out = jnp.zeros(t.shape, lp.dtype)
+    for k in range(lp.shape[0]):
+        v = lp[k] if values is None else values[k]
+        out = out + jnp.where(t == k, v, 0)
+    return out
+
+
+def _sw_spatial(sample_weight: Array, targets: Array, dtype) -> Array:
+    sw = sample_weight.reshape(
+        sample_weight.shape + (1,) * (targets.ndim - sample_weight.ndim))
+    return jnp.broadcast_to(sw, targets.shape).astype(dtype)
+
+
 def _xent_class_major(logits: Array, targets: Array,
                       class_weights: Optional[Array],
                       ignore_index: int,
                       sample_weight: Optional[Array]) -> Array:
     """Spatial softmax CE computed with classes in the MAJOR axis.
 
-    The flattened ``(N, C)`` form puts C in the minor (lane) dimension; at
-    the segmentation head's C=4 that wastes 31/32 lanes of every elementwise
-    op and lowers the label pick to a gather — measured +62 ms per forward
-    at batch 16 × 512² on v5e (scripts/exp_r3n/o). Moving classes to the
-    front keeps the big spatial dims on the (sublane, lane) tile and turns
-    the pick into C unrolled selects. Same math as the flat path.
-    """
-    c = logits.shape[-1]
-    lp = jnp.moveaxis(logits, -1, 0)                    # (C, B, H, W)
-    m = jnp.max(lp, axis=0)
-    lse = jnp.log(jnp.sum(jnp.exp(lp - m), axis=0)) + m
+    See ``_use_class_major``; the label pick becomes C unrolled selects.
+    Same math as the flat path."""
+    lp, lse = _cm_logprob_parts(logits)                 # (C, B, H, W)
     valid = targets != ignore_index
     t = jnp.where(valid, targets, 0)
-    picked = jnp.zeros_like(lse)
-    wsel = None if class_weights is None else jnp.zeros_like(lse)
-    cw = (None if class_weights is None
-          else jnp.asarray(class_weights, lp.dtype))
-    for k in range(c):                                  # C small: unrolled
-        sel = t == k
-        picked = picked + jnp.where(sel, lp[k], 0)
-        if wsel is not None:
-            wsel = wsel + jnp.where(sel, cw[k], 0)
-    nll = lse - picked
+    nll = lse - _cm_select(t, lp)
     w = valid.astype(lp.dtype)
-    if wsel is not None:
-        w = w * wsel
+    if class_weights is not None:
+        w = w * _cm_select(t, lp, jnp.asarray(class_weights, lp.dtype))
     if sample_weight is not None:
-        sw = sample_weight.reshape(
-            sample_weight.shape + (1,) * (targets.ndim - sample_weight.ndim))
-        w = w * jnp.broadcast_to(sw, targets.shape).astype(lp.dtype)
+        w = w * _sw_spatial(sample_weight, targets, lp.dtype)
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
@@ -90,8 +109,7 @@ def cross_entropy(logits: Array, targets: Array,
                   sample_weight: Optional[Array] = None) -> Array:
     """Weighted softmax CE with ignore_index (torch nn.CrossEntropyLoss
     semantics: weighted mean divides by the sum of applied class weights)."""
-    if targets.ndim >= 2 and logits.shape[-1] <= 16:
-        # dense/spatial targets: lane-efficient class-major path
+    if _use_class_major(logits, targets):
         return _xent_class_major(logits, targets, class_weights,
                                  ignore_index, sample_weight)
     lf, tf = _flatten_logits(logits, targets)
@@ -123,6 +141,18 @@ def focal(logits: Array, targets: Array, gamma: float = 2.0,
           class_weights: Optional[Array] = None,
           sample_weight: Optional[Array] = None) -> Array:
     """Multi-class focal loss (reference FocalLoss2d, models/losses.py:95-130)."""
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        logpt = _cm_select(targets, lp) - lse
+        pt = jnp.exp(logpt)
+        if class_weights is not None:
+            logpt = logpt * _cm_select(
+                targets, lp, jnp.asarray(class_weights, lp.dtype))
+        loss = -((1.0 - pt) ** gamma) * logpt
+        if sample_weight is not None:
+            sw = _sw_spatial(sample_weight, targets, lp.dtype)
+            return jnp.sum(loss * sw) / jnp.maximum(jnp.sum(sw), 1e-8)
+        return jnp.mean(loss)
     lf, tf = _flatten_logits(logits, targets)
     logp = jax.nn.log_softmax(lf, axis=-1)
     logpt = jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
@@ -153,14 +183,22 @@ def ohem(logits: Array, targets: Array, ratio: float = 0.5,
         logits = jax.image.resize(logits, (b, nh, nw, c), "linear")
         targets = jax.image.resize(targets.astype(jnp.int32), (b, nh, nw),
                                    "nearest")
-    lf, tf = _flatten_logits(logits, targets)
-    logp = jax.nn.log_softmax(lf, axis=-1)
-    nll = -jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
-    if sample_weight is not None:
-        sw = jnp.broadcast_to(
-            sample_weight.reshape(sample_weight.shape + (1,) * (targets.ndim - 1)),
-            targets.shape).reshape(-1).astype(lf.dtype)
-        nll = nll * sw
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        nll = lse - _cm_select(targets, lp)
+        if sample_weight is not None:
+            nll = nll * _sw_spatial(sample_weight, targets, lp.dtype)
+        nll = nll.reshape(-1)
+    else:
+        lf, tf = _flatten_logits(logits, targets)
+        logp = jax.nn.log_softmax(lf, axis=-1)
+        nll = -jnp.take_along_axis(logp, tf[:, None], axis=-1)[:, 0]
+        if sample_weight is not None:
+            sw = jnp.broadcast_to(
+                sample_weight.reshape(
+                    sample_weight.shape + (1,) * (targets.ndim - 1)),
+                targets.shape).reshape(-1).astype(lf.dtype)
+            nll = nll * sw
     k = max(1, int(ratio * nll.shape[0]))
     hard, _ = jax.lax.top_k(nll, k)
     return jnp.mean(hard)
@@ -171,6 +209,21 @@ def conditional_entropy_ce(logits: Array, targets: Array,
                            sample_weight: Optional[Array] = None) -> Array:
     """Conditional entropy + cross entropy (reference ConditionalEntropyLoss,
     models/losses.py:163-178)."""
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        ent = jnp.zeros_like(lse)                  # negative entropy Σ p·logp
+        for k in range(lp.shape[0]):
+            logp_k = lp[k] - lse
+            ent = ent + jnp.exp(logp_k) * logp_k
+        nll = lse - _cm_select(targets, lp)
+        if class_weights is not None:
+            nll = nll * _cm_select(
+                targets, lp, jnp.asarray(class_weights, lp.dtype))
+        loss = -ent + nll
+        if sample_weight is not None:
+            sw = _sw_spatial(sample_weight, targets, lp.dtype)
+            return jnp.sum(loss * sw) / jnp.maximum(jnp.sum(sw), 1e-8)
+        return jnp.mean(loss)
     lf, tf = _flatten_logits(logits, targets)
     logp = jax.nn.log_softmax(lf, axis=-1)
     p = jnp.exp(logp)
@@ -203,6 +256,25 @@ def dice(logits: Array, targets: Array,
     """Soft Dice (reference DiceLoss, models/losses.py:226-258): per-channel
     1 - 2|x∩y| / (|x|+|y|), class-weighted, summed / C."""
     num_classes = logits.shape[-1]
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        valid = (jnp.ones(targets.shape, bool) if ignore_index is None
+                 else targets != ignore_index)
+        sw = (None if sample_weight is None
+              else _sw_spatial(sample_weight, targets, lp.dtype))
+        vf = valid.astype(lp.dtype)
+        inters, denoms = [], []
+        for k in range(num_classes):
+            p_k = jnp.exp(lp[k] - lse)
+            oh_k = ((targets == k) & valid).astype(lp.dtype)
+            if sw is not None:
+                p_k, oh_k = p_k * sw, oh_k * sw
+            inters.append(jnp.sum(p_k * oh_k))
+            denoms.append(jnp.sum(p_k * vf) + jnp.sum(oh_k) + eps)
+        per_channel = 1.0 - 2.0 * jnp.stack(inters) / jnp.stack(denoms)
+        if class_weights is not None:
+            per_channel = per_channel * jnp.asarray(class_weights, lp.dtype)
+        return jnp.sum(per_channel) / num_classes
     probs = jax.nn.softmax(logits, axis=-1)
     oh, valid = _one_hot_masked(targets, num_classes, ignore_index)
     if sample_weight is not None:
@@ -222,6 +294,20 @@ def jaccard(logits: Array, targets: Array, eps: float = 1.0,
             sample_weight: Optional[Array] = None) -> Array:
     """Soft IoU loss, mean over channels."""
     num_classes = logits.shape[-1]
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        sw = (None if sample_weight is None
+              else _sw_spatial(sample_weight, targets, lp.dtype))
+        ious = []
+        for k in range(num_classes):
+            p_k = jnp.exp(lp[k] - lse)
+            oh_k = (targets == k).astype(lp.dtype)
+            if sw is not None:
+                p_k, oh_k = p_k * sw, oh_k * sw
+            inter = jnp.sum(p_k * oh_k)
+            union = jnp.sum(p_k) + jnp.sum(oh_k) - inter
+            ious.append(1.0 - inter / (union + eps))
+        return jnp.mean(jnp.stack(ious))
     probs = jax.nn.softmax(logits, axis=-1)
     oh = jax.nn.one_hot(targets, num_classes)
     if sample_weight is not None:
@@ -238,6 +324,21 @@ def tversky(logits: Array, targets: Array, alpha: float = 1.0,
             sample_weight: Optional[Array] = None) -> Array:
     """Tversky loss (reference TverskyLoss, models/losses.py:189-223)."""
     num_classes = logits.shape[-1]
+    if _use_class_major(logits, targets):
+        lp, lse = _cm_logprob_parts(logits)
+        sw = (None if sample_weight is None
+              else _sw_spatial(sample_weight, targets, lp.dtype))
+        tvs = []
+        for k in range(num_classes):
+            p_k = jnp.exp(lp[k] - lse)
+            oh_k = (targets == k).astype(lp.dtype)
+            if sw is not None:
+                p_k, oh_k = p_k * sw, oh_k * sw
+            inter = jnp.sum(p_k * oh_k) + eps
+            fps = jnp.sum(p_k * (1 - oh_k))
+            fns = jnp.sum((1 - p_k) * oh_k)
+            tvs.append(1.0 - inter / (inter + alpha * fps + beta * fns))
+        return jnp.mean(jnp.stack(tvs))
     probs = jax.nn.softmax(logits, axis=-1)
     oh = jax.nn.one_hot(targets, num_classes)
     if sample_weight is not None:
