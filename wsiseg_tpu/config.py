@@ -108,6 +108,9 @@ class Config:
     mesh: str = ""
     prefetch_depth: int = 2              # host→device pipeline depth
     infer_batch_size: int = 32           # dense-inference tile batch
+    # Train-mode s2d cell-domain decoder tail (Unet only): exact math,
+    # identical param tree, ~2x faster steps on TPU (models/unet.py).
+    train_s2d_tail: bool = True
     seed: int = 0
 
     def __post_init__(self) -> None:

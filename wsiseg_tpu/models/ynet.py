@@ -30,6 +30,9 @@ class YNet(nn.Module):
     param_dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
     axis_name: str | None = None
+    # train-mode s2d cell-domain decoder tail (exact; Unet only) — see
+    # unet.UNetDecoder.s2d_tail
+    s2d_train_tail: bool = False
 
     def setup(self):
         self.encoder_m = ResNetEncoder(
@@ -47,11 +50,13 @@ class YNet(nn.Module):
                                 "Linknet": LinknetDecoder})
         if self.decoder not in decoder_cls:
             raise ValueError(f"unknown decoder {self.decoder!r}")
+        extra = ({"s2d_tail": True}
+                 if self.s2d_train_tail and self.decoder == "Unet" else {})
         self.decoder_m = decoder_cls[self.decoder](
             num_classes=self.num_classes, dtype=self.dtype,
             param_dtype=self.param_dtype, norm_dtype=self.norm_dtype,
             axis_name=self.axis_name,
-            name="decoder")
+            name="decoder", **extra)
         self.classifier_m = Classifier(
             self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype,
             name="classifier")
@@ -91,7 +96,8 @@ def build_ynet(cfg: Config, axis_name: str | None = None) -> YNet:
                 dtype=jnp.dtype(cfg.compute_dtype),
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 norm_dtype=jnp.dtype(getattr(cfg, 'norm_dtype', 'float32')),
-                axis_name=axis_name)
+                axis_name=axis_name,
+                s2d_train_tail=getattr(cfg, 'train_s2d_tail', False))
 
 
 def init_ynet(cfg: Config, rng: jax.Array, tile_hw: tuple[int, int] | None = None,
