@@ -186,18 +186,19 @@ def main():
         print(f"pipelined e2e failed: {e!r}", file=sys.stderr)
 
     # training-step throughput (the other hot path): hybrid three-head
-    # step, bf16 compute / f32 BN, batch 32 at 512² — the measured sweet
-    # spot (scripts/bench_train.py: b16/32/64 = 134/146/129 p/s after the
-    # class-major loss fix; was 88 with the lane-starved (N, C) losses)
+    # step, bf16 compute / bf16-output BN (stats f32), batch 128 at 512² —
+    # the measured sweet spot (scripts/exp_r4e.py: b32/64/128 =
+    # 327/352/454 p/s with the s2d decoder tail + class-major losses;
+    # b192 fails to compile; round-2 was 88 p/s)
     train_pps = train_ms = train_mfu = None
     if on_tpu:
         try:
             from wsiseg_tpu.optim import build_optimizer
             from wsiseg_tpu.train.state import TrainState
             from wsiseg_tpu.train.steps import make_hybrid_train_step
-            tb = 32
+            tb = 128
             cfg_t = default_config(compute_dtype="bfloat16",
-                                   norm_dtype="float32", lr=1e-4)
+                                   norm_dtype="bfloat16", lr=1e-4)
             model_t, vars_t = init_ynet(cfg_t, jax.random.PRNGKey(0))
             tx = build_optimizer(cfg_t)
             state_t = TrainState.create(vars_t, tx)
@@ -274,7 +275,7 @@ def main():
         "train_patches_per_sec": round(train_pps, 1) if train_pps else None,
         "train_step_ms": round(train_ms, 1) if train_ms else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
-        "train_batch": 32,
+        "train_batch": 128,
         "num_tiles": len(plan.grid),
         "tile": [cfg.tile_h, cfg.tile_w],
         "stride": [cfg.tile_stride_h, cfg.tile_stride_w],

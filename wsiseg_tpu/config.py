@@ -99,8 +99,15 @@ class Config:
     # ---- TPU-native additions (no reference equivalent) ----
     compute_dtype: str = "bfloat16"      # dtype for conv/matmul compute
     param_dtype: str = "float32"         # dtype for parameters / BN stats
-    norm_dtype: str = "float32"          # dtype for BatchNorm math (bf16 for
-                                         # inference-only throughput)
+    norm_dtype: str = ""                 # BatchNorm OUTPUT dtype; "" follows
+                                         # compute_dtype. Statistics, running
+                                         # averages and scale/bias stay f32
+                                         # regardless (flax forces f32
+                                         # reductions; unet._S2dGroupBatchNorm
+                                         # normalizes in f32 too) — this only
+                                         # stores the normalized activations in
+                                         # the compute dtype. Train step b32:
+                                         # 115→98 ms bf16 (scripts/exp_r4e.py).
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel mesh; -1 = all devices
     mesh_axes: Tuple[str, ...] = ("data",)
     # --mesh flag: "" = single device, "all" = every visible device,
@@ -114,6 +121,8 @@ class Config:
     seed: int = 0
 
     def __post_init__(self) -> None:
+        if not self.norm_dtype:
+            self.norm_dtype = self.compute_dtype
         if self.loss not in KNOWN_LOSSES:
             raise ValueError(f"unknown loss {self.loss!r}; expected one of {KNOWN_LOSSES}")
         if self.optim not in KNOWN_OPTIMIZERS:

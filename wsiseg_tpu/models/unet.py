@@ -6,7 +6,7 @@ five upsample blocks with decoder channels (256, 128, 64, 32, 16), each
 3×3 conv to ``num_classes`` logits at input resolution (activation=None —
 the reference passes a None-returning activation, train.py:27-28).
 
-TRAIN-mode fast tail (``s2d_tail=True``): blocks 3-4 + head execute in
+TRAIN-mode fast tail (``s2d_tail=True``): blocks 2-4 + head execute in
 space-to-depth cell domains with exactly transformed kernels — the same
 trick the inference engine uses (``fast_decoder.decode_cells``), made
 differentiable and BN-stat-exact so it is safe inside ``jax.grad``. The
@@ -65,6 +65,11 @@ class _S2dGroupBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: str | None = None
+    # output dtype (flax BatchNorm's ``dtype``); statistics are ALWAYS f32
+    # (flax does the same — `force_float32_reductions`). With bf16 the
+    # normalization here stays f32 and only the STORED result is bf16, so
+    # it is a hair more accurate than flax's bf16 arithmetic.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -95,7 +100,8 @@ class _S2dGroupBatchNorm(nn.Module):
                                 + (1.0 - self.momentum) * var)
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return xf * jnp.tile(inv, f2) + jnp.tile(bias - mean * inv, f2)
+        y = xf * jnp.tile(inv, f2) + jnp.tile(bias - mean * inv, f2)
+        return y.astype(self.dtype)
 
 
 class _S2dConv(nn.Module):
@@ -146,10 +152,11 @@ class _S2dConv(nn.Module):
 class _S2dTailBlock(nn.Module):
     """DecoderBlock twin running in an s2d cell domain. Two variants:
 
-    * ``kind='block3'``: input x at cell res (native layout), skip supplied
-      in s2d(2) layout; conv1 = upfold(up path) ⊕ s2d(skip), output s2d(2).
-    * ``kind='block4'``: input in s2d(2) (no skip); conv1 = upfold2 into
-      s2d(4), conv2 = s2d(4) kernel.
+    * ``kind='s2d2'``: input x at cell res (native layout), skip supplied
+      in s2d(2) layout; conv1 = upfold(up path) ⊕ s2d(skip), output s2d(2)
+      (decoder blocks 2 and 3).
+    * ``kind='s2d4'``: input in s2d(2) (no skip); conv1 = upfold2 into
+      s2d(4), conv2 = s2d(4) kernel (decoder block 4).
     """
     filters: int
     in_features: int          # logical conv1 input channels
@@ -157,27 +164,28 @@ class _S2dTailBlock(nn.Module):
     split: int = 0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, skip_s2d=None):
-        f2 = 4 if self.kind == "block3" else 16
-        t1 = "upfold_cat" if self.kind == "block3" else "upfold2"
-        t2 = "s2d2" if self.kind == "block3" else "s2d4"
+        f2 = 4 if self.kind == "s2d2" else 16
+        t1 = "upfold_cat" if self.kind == "s2d2" else "upfold2"
+        t2 = "s2d2" if self.kind == "s2d2" else "s2d4"
         if skip_s2d is not None:
             x = jnp.concatenate([x, skip_s2d.astype(x.dtype)], axis=-1)
         x = _S2dConv(self.filters, self.in_features, t1, split=self.split,
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      name="conv1")(x)
         x = _S2dGroupBatchNorm(self.filters, f2, use_running_average=False,
-                               momentum=self.bn_momentum,
+                               momentum=self.bn_momentum, dtype=self.norm_dtype,
                                axis_name=self.axis_name, name="bn1")(x)
         x = nn.relu(x).astype(self.dtype)
         x = _S2dConv(self.filters, self.filters, t2, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="conv2")(x)
         x = _S2dGroupBatchNorm(self.filters, f2, use_running_average=False,
-                               momentum=self.bn_momentum,
+                               momentum=self.bn_momentum, dtype=self.norm_dtype,
                                axis_name=self.axis_name, name="bn2")(x)
         return nn.relu(x).astype(self.dtype)
 
@@ -190,7 +198,7 @@ class UNetDecoder(nn.Module):
     norm_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
-    s2d_tail: bool = False    # train-mode cell-domain blocks 3-4 + head
+    s2d_tail: bool = False    # train-mode cell-domain blocks 2-4 + head
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -208,10 +216,12 @@ class UNetDecoder(nn.Module):
         x = features[0].astype(self.dtype)
         skips = list(features[1:]) + [None]  # c4, c3, c2, c1, then no skip
         c1 = features[4] if len(features) > 4 else None
+        c2 = features[3] if len(features) > 3 else None
         use_s2d = (self.s2d_tail and train
                    and len(self.decoder_channels) == 5 and c1 is not None
-                   and c1.shape[1] % 4 == 0 and c1.shape[2] % 4 == 0)
-        n_native = 3 if use_s2d else len(self.decoder_channels)
+                   and c1.shape[1] % 4 == 0 and c1.shape[2] % 4 == 0
+                   and c2.shape[1] % 2 == 0 and c2.shape[2] % 2 == 0)
+        n_native = 2 if use_s2d else len(self.decoder_channels)
         for i, (ch, skip) in enumerate(
                 zip(self.decoder_channels[:n_native], skips)):
             x = DecoderBlock(ch, conv=conv, norm=norm, name=f"block{i}")(x, skip)
@@ -219,17 +229,21 @@ class UNetDecoder(nn.Module):
         if use_s2d:
             from wsiseg_tpu.models.fast_decoder import (depth_to_space,
                                                         space_to_depth)
-            ch3, ch4 = self.decoder_channels[3:]
-            x = _S2dTailBlock(ch3, x.shape[-1] + c1.shape[-1], "block3",
-                              split=x.shape[-1], dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              bn_momentum=self.bn_momentum,
-                              axis_name=self.axis_name, name="block3")(
-                x, space_to_depth(c1.astype(self.dtype)))
-            x = _S2dTailBlock(ch4, ch3, "block4", dtype=self.dtype,
-                              param_dtype=self.param_dtype,
-                              bn_momentum=self.bn_momentum,
-                              axis_name=self.axis_name, name="block4")(x)
+            common = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                          norm_dtype=self.norm_dtype,
+                          bn_momentum=self.bn_momentum,
+                          axis_name=self.axis_name)
+            ch2, ch3, ch4 = self.decoder_channels[2:]
+            # block2 in s2d(2) of its H/4 domain (mirrors the inference
+            # decode_cells chain), back to native for block3's upfold
+            x = _S2dTailBlock(ch2, x.shape[-1] + c2.shape[-1], "s2d2",
+                              split=x.shape[-1], name="block2",
+                              **common)(x, space_to_depth(c2.astype(self.dtype)))
+            x = depth_to_space(x, 2)
+            x = _S2dTailBlock(ch3, x.shape[-1] + c1.shape[-1], "s2d2",
+                              split=x.shape[-1], name="block3",
+                              **common)(x, space_to_depth(c1.astype(self.dtype)))
+            x = _S2dTailBlock(ch4, ch3, "s2d4", name="block4", **common)(x)
             x = _S2dConv(self.num_classes, ch4, "s2d4", use_bias=True,
                          bias_tile=16, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="seg_head")(x)
