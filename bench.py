@@ -205,12 +205,12 @@ def main():
             step_t = jax.jit(make_hybrid_train_step(model_t, tx, cfg_t),
                              donate_argnums=0)
             rng_t = np.random.RandomState(7)
+            seg_lab = rng_t.randint(0, cfg_t.num_classes,
+                                    (tb, 512, 512)).astype(np.int32)
             tbatch = {
                 "image": jax.device_put(
                     rng_t.randn(tb, 512, 512, 3).astype(np.float32)),
-                "seg_label": jax.device_put(
-                    rng_t.randint(0, cfg_t.num_classes, (tb, 512, 512))
-                    .astype(np.int32)),
+                "seg_label": jax.device_put(seg_lab),
                 "cls_label": jax.device_put(
                     np.tile(np.array([1, -1], np.int32), tb // 2)),
                 "reg_label": jax.device_put(
@@ -222,6 +222,8 @@ def main():
                 "is_seg": jax.device_put(
                     np.tile(np.array([0.0, 1.0], np.float32), tb // 2)),
             }
+            from wsiseg_tpu.data.patches import seg_labels_s2d
+            tbatch["seg_label_s2d"] = jax.device_put(seg_labels_s2d(seg_lab))
             rkey = jax.random.PRNGKey(1)
             state_t, m = step_t(state_t, tbatch, rkey)   # compile + warm
             state_t, m = step_t(state_t, tbatch, rkey)

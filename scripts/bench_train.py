@@ -40,6 +40,8 @@ def make_batch(b: int, tile: int, seed: int = 0) -> dict:
         "is_reg": np.tile(np.array([0.0, 1.0], np.float32), b // 2),
         "is_seg": np.tile(np.array([0.0, 1.0], np.float32), b // 2),
     }
+    from wsiseg_tpu.data.patches import seg_labels_s2d
+    batch["seg_label_s2d"] = seg_labels_s2d(batch["seg_label"])
     return {k: jax.device_put(v) for k, v in batch.items()}
 
 

@@ -108,3 +108,93 @@ def test_nonstandard_channels_fall_back_native():
     v = dec_s2d.init(jax.random.PRNGKey(0), feats, train=True)
     y, _ = dec_s2d.apply(v, feats, train=True, mutable=["batch_stats"])
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cross_entropy_s2d_matches_full_res():
+    """losses.cross_entropy_s2d == cross_entropy(depth_to_space(logits), t)
+    for every option combination (the layouts enumerate the same pixels)."""
+    from wsiseg_tpu import losses
+    from wsiseg_tpu.data.patches import seg_labels_s2d
+    from wsiseg_tpu.models.fast_decoder import depth_to_space
+
+    rng = np.random.RandomState(0)
+    b, h, w, c, f = 3, 16, 24, 4, 4
+    x = jnp.asarray(rng.randn(b, h // f, w // f, f * f * c)
+                    .astype(np.float32))
+    lab = rng.randint(-1, c, (b, h, w)).astype(np.int32)   # incl. ignore
+    lab_s2d = jnp.asarray(seg_labels_s2d(lab, f))
+    lab = jnp.asarray(lab)
+    full = depth_to_space(x, f)
+    cw = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+    sw = jnp.asarray([1.0, 0.0, 0.5])
+    for kw in ({}, {"class_weights": cw}, {"sample_weight": sw},
+               {"class_weights": cw, "sample_weight": sw},
+               {"ignore_index": 2}):
+        a = losses.cross_entropy(full, lab, **kw)
+        bb = losses.cross_entropy_s2d(x, lab_s2d, f, **kw)
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=1e-6, err_msg=str(kw))
+        ga = jax.grad(lambda z: losses.cross_entropy(
+            depth_to_space(z, f), lab, **kw))(x)
+        gb = jax.grad(lambda z: losses.cross_entropy_s2d(
+            z, lab_s2d, f, **kw))(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   rtol=0, atol=1e-7, err_msg=str(kw))
+
+
+def test_hybrid_step_s2d_loss_exact():
+    """Full hybrid train step: the s2d-loss path (s2d logits + host s2d
+    labels) produces the same loss and updated params as the native path,
+    at f32. Also covers the d2s fallback when the batch lacks the s2d
+    labels."""
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.data.patches import add_s2d_seg_labels
+    from wsiseg_tpu.models.ynet import init_ynet
+    from wsiseg_tpu.optim import build_optimizer
+    from wsiseg_tpu.train.state import TrainState
+    from wsiseg_tpu.train.steps import make_hybrid_train_step
+
+    b, t = 2, 64
+    rs = np.random.RandomState(0)
+    batch = {
+        "image": rs.rand(b, t, t, 3).astype(np.float32),
+        "cls_label": rs.randint(0, 4, (b,)).astype(np.int32),
+        "reg_label": rs.rand(b).astype(np.float32),
+        "seg_label": rs.randint(0, 4, (b, t, t)).astype(np.int32),
+        "is_cls": np.ones((b,), np.float32),
+        "is_reg": np.ones((b,), np.float32),
+        "is_seg": np.ones((b,), np.float32),
+    }
+    results = {}
+    for name, s2d_loss, with_labels in (("native", False, False),
+                                        ("s2d", True, True),
+                                        ("s2d_fallback", True, False)):
+        # sgd: the param delta is LINEAR in the grad, so the comparison
+        # tolerances track the grads themselves (adam's rsqrt amplifies
+        # benign f32 reduction-order noise unboundedly near v ≈ 0)
+        cfg = default_config(tile_w=t, tile_h=t, compute_dtype="float32",
+                             optim="sgd", lr=0.1,
+                             train_s2d_tail=True, train_s2d_loss=s2d_loss)
+        model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+        tx = build_optimizer(cfg)
+        step = jax.jit(make_hybrid_train_step(model, tx, cfg))
+        bb = add_s2d_seg_labels(batch, cfg) if with_labels else dict(batch)
+        if with_labels:
+            assert "seg_label_s2d" in bb
+        state = TrainState.create(jax.tree_util.tree_map(jnp.copy, variables),
+                                  tx)
+        state, met = step(state, bb, jax.random.PRNGKey(1))
+        results[name] = (float(met["loss_seg"]), state.params)
+    for variant in ("s2d", "s2d_fallback"):
+        np.testing.assert_allclose(results[variant][0], results["native"][0],
+                                   rtol=1e-6, err_msg=variant)
+        # atol: the s2d path sums the identical pixel population in a
+        # different order — ~1e-7-relative f32 reduction noise in the
+        # grads, linear through the sgd update
+        for (pa, a), (pb, bv) in zip(
+                jax.tree_util.tree_leaves_with_path(results["native"][1]),
+                jax.tree_util.tree_leaves_with_path(results[variant][1])):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(bv), np.asarray(a),
+                                       rtol=0, atol=1e-6,
+                                       err_msg=f"{variant}:{pa}")

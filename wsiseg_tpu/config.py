@@ -118,6 +118,10 @@ class Config:
     # Train-mode s2d cell-domain decoder tail (Unet only): exact math,
     # identical param tree, ~2x faster steps on TPU (models/unet.py).
     train_s2d_tail: bool = True
+    # Segmentation loss consumed directly in the tail's s2d layout (labels
+    # space-to-depth'd host-side; exact same loss/grads, skips the full-res
+    # f32 logit materialization — losses.cross_entropy_s2d).
+    train_s2d_loss: bool = True
     seed: int = 0
 
     def __post_init__(self) -> None:

@@ -145,3 +145,30 @@ def normalize_batch_images(image_u8, cfg: Config, rng=None, train: bool = False)
     if train and rng is not None:
         img = batch_color_jitter(img, rng)
     return normalize(img, cfg.dataset_mean, cfg.dataset_std)
+
+
+def seg_labels_s2d(labels: np.ndarray, f: int = 4) -> np.ndarray:
+    """Host-side space-to-depth of an int label map: ``(B, H, W)`` →
+    ``(B, H/f, W/f, f²)`` with (fy, fx) sub-position order — the layout
+    ``losses.cross_entropy_s2d`` pairs with the train s2d decoder tail's
+    logits. Runs in the prefetch thread (numpy); the device-side transpose
+    of the same transform measured 85 ms at b128@512² (scripts/exp_r4g.py)."""
+    b, h, w = labels.shape
+    return np.ascontiguousarray(
+        labels.reshape(b, h // f, f, w // f, f)
+        .transpose(0, 1, 3, 2, 4).reshape(b, h // f, w // f, f * f))
+
+
+def add_s2d_seg_labels(batch: Dict, cfg: Config, f: int = 4) -> Dict:
+    """Attach ``seg_label_s2d`` to a host batch when the train config wants
+    the s2d-domain segmentation loss and the label geometry allows it.
+    Leaves ``seg_label`` in place — steps fall back to it exactly when the
+    model emits native-layout logits."""
+    lab = batch.get("seg_label")
+    if (lab is None or not getattr(cfg, "train_s2d_tail", False)
+            or not getattr(cfg, "train_s2d_loss", False)
+            or lab.ndim != 3 or lab.shape[1] % f or lab.shape[2] % f):
+        return batch
+    out = dict(batch)
+    out["seg_label_s2d"] = seg_labels_s2d(np.asarray(lab), f)
+    return out

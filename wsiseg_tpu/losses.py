@@ -128,6 +128,49 @@ def cross_entropy(logits: Array, targets: Array,
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
+def cross_entropy_s2d(logits: Array, targets: Array, f: int,
+                      class_weights: Optional[Array] = None,
+                      ignore_index: int = -1,
+                      sample_weight: Optional[Array] = None) -> Array:
+    """``cross_entropy`` on space-to-depth-layout spatial logits.
+
+    ``logits`` is ``(B, H/f, W/f, f²·C)`` with sub-position-major / class-
+    minor lanes (channel ``p = (fy·f + fx)·C + c`` — the layout the train
+    s2d decoder tail emits, ``models/unet.py``) and ``targets`` is the
+    matching ``(B, H/f, W/f, f²)`` space-to-depth of the int label map
+    (``data/patches.seg_labels_s2d``). The pixel population is identical to
+    the full-resolution pair, so value and gradients EXACTLY equal
+    ``cross_entropy(depth_to_space(logits, f), labels)`` — but the full-res
+    f32 materialization, its transpose and both backwards disappear
+    (measured v5e b128@512²: 212 → 11 ms, scripts/exp_r4g.py).
+
+    The per-class lane views keep f² ≥ 16 lanes each, so none of the
+    elementwise work drops to the pathological 4-lane layout the
+    class-major path exists to avoid (see ``_use_class_major``)."""
+    c = logits.shape[-1] // (f * f)
+    xs = [logits[..., k::c].astype(jnp.float32) for k in range(c)]
+    m = xs[0]
+    for k in range(1, c):
+        m = jnp.maximum(m, xs[k])
+    lse = jnp.log(sum(jnp.exp(xk - m) for xk in xs)) + m
+    valid = targets != ignore_index
+    t = jnp.where(valid, targets, 0)
+    pick = jnp.zeros(t.shape, jnp.float32)
+    for k in range(c):
+        pick = pick + jnp.where(t == k, xs[k], 0)
+    nll = lse - pick
+    w = valid.astype(jnp.float32)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, jnp.float32)
+        wk = jnp.zeros(t.shape, jnp.float32)
+        for k in range(c):
+            wk = wk + jnp.where(t == k, cw[k], 0)
+        w = w * wk
+    if sample_weight is not None:
+        w = w * _sw_spatial(sample_weight, targets, jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 def bce(probs: Array, targets: Array,
         sample_weight: Optional[Array] = None) -> Array:
     """Binary cross entropy on probabilities (torch nn.BCELoss)."""

@@ -199,6 +199,10 @@ class UNetDecoder(nn.Module):
     bn_momentum: float = 0.9
     axis_name: str | None = None
     s2d_tail: bool = False    # train-mode cell-domain blocks 2-4 + head
+    s2d_logits: bool = False  # with s2d_tail: return head logits in s2d(4)
+                              # layout (B, H/4, W/4, 16·nc) — callers pair
+                              # them with losses.cross_entropy_s2d; equal to
+                              # depth_to_space(out, 4) by construction
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -247,6 +251,8 @@ class UNetDecoder(nn.Module):
             x = _S2dConv(self.num_classes, ch4, "s2d4", use_bias=True,
                          bias_tile=16, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="seg_head")(x)
+            if self.s2d_logits:
+                return x.astype(jnp.float32)
             return depth_to_space(x, 4).astype(jnp.float32)
 
         x = conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],

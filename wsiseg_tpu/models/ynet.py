@@ -33,6 +33,10 @@ class YNet(nn.Module):
     # train-mode s2d cell-domain decoder tail (exact; Unet only) — see
     # unet.UNetDecoder.s2d_tail
     s2d_train_tail: bool = False
+    # with the tail: emit seg logits in s2d(4) layout at train time and tag
+    # the output dict with "seg_s2d": 4 so steps pair them with
+    # losses.cross_entropy_s2d (unet.UNetDecoder.s2d_logits)
+    s2d_train_logits: bool = False
 
     def setup(self):
         self.encoder_m = ResNetEncoder(
@@ -52,6 +56,8 @@ class YNet(nn.Module):
             raise ValueError(f"unknown decoder {self.decoder!r}")
         extra = ({"s2d_tail": True}
                  if self.s2d_train_tail and self.decoder == "Unet" else {})
+        if extra and self.s2d_train_logits:
+            extra["s2d_logits"] = True
         self.decoder_m = decoder_cls[self.decoder](
             num_classes=self.num_classes, dtype=self.dtype,
             param_dtype=self.param_dtype, norm_dtype=self.norm_dtype,
@@ -69,11 +75,17 @@ class YNet(nn.Module):
 
         Returns dict(seg=(B,H,W,C) logits, cls=(B,C) logits, reg=(B,R))."""
         feats = self.encoder_m(x, train=train)
-        return {
-            "seg": self.decoder_m(feats, train=train),
+        seg = self.decoder_m(feats, train=train)
+        out = {
+            "seg": seg,
             "cls": self.classifier_m(feats[0]),
             "reg": self.regressor_m(feats[0]),
         }
+        if seg.ndim == 4 and 0 < seg.shape[1] < x.shape[1]:
+            # the decoder emitted s2d-layout logits (static shape check —
+            # covers its runtime fallback to the native path)
+            out["seg_s2d"] = x.shape[1] // seg.shape[1]
+        return out
 
     def encode(self, x, train: bool = False):
         return self.encoder_m(x, train=train)
@@ -97,7 +109,8 @@ def build_ynet(cfg: Config, axis_name: str | None = None) -> YNet:
                 param_dtype=jnp.dtype(cfg.param_dtype),
                 norm_dtype=jnp.dtype(getattr(cfg, 'norm_dtype', 'float32')),
                 axis_name=axis_name,
-                s2d_train_tail=getattr(cfg, 'train_s2d_tail', False))
+                s2d_train_tail=getattr(cfg, 'train_s2d_tail', False),
+                s2d_train_logits=getattr(cfg, 'train_s2d_loss', False))
 
 
 def init_ynet(cfg: Config, rng: jax.Array, tile_hw: tuple[int, int] | None = None,

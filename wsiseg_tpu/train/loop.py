@@ -81,7 +81,14 @@ class Trainer:
             sums: Dict[str, jax.Array] = {}
             count = 0
             n_samples = 0
-            for batch in prefetch_to_device(iter(self.make_batches()),
+            # seg labels get their s2d view attached host-side (numpy, runs
+            # in the prefetch thread) when the config trains with the s2d
+            # decoder tail + s2d-domain loss — the device transpose of the
+            # same transform costs 85 ms/batch (data/patches.seg_labels_s2d)
+            from wsiseg_tpu.data.patches import add_s2d_seg_labels
+            host_batches = (add_s2d_seg_labels(b, cfg)
+                            for b in self.make_batches())
+            for batch in prefetch_to_device(host_batches,
                                             depth=cfg.prefetch_depth,
                                             device=batch_sh):
                 rng, sub, pp = jax.random.split(rng, 3)

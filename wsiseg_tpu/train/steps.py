@@ -29,6 +29,29 @@ from wsiseg_tpu.config import Config
 from wsiseg_tpu.train.state import TrainState
 
 
+def _seg_xent(out, batch, class_weights, sample_weight):
+    """Segmentation cross entropy, s2d-aware.
+
+    When the model tagged its output with ``seg_s2d`` (the train s2d tail
+    emitting cell-layout logits, models/ynet.py) and the host batch carries
+    the matching ``seg_label_s2d`` (data/patches.add_s2d_seg_labels), the
+    loss runs entirely in the s2d domain — exact same value/grads, none of
+    the full-res f32 materializations (losses.cross_entropy_s2d). Either
+    piece missing → the canonical full-resolution path, via an explicit
+    depth_to_space when only the labels are missing."""
+    seg, f = out["seg"], out.get("seg_s2d")
+    if f and "seg_label_s2d" in batch:
+        return losses.cross_entropy_s2d(
+            seg, batch["seg_label_s2d"], f, class_weights=class_weights,
+            sample_weight=sample_weight)
+    if f:
+        from wsiseg_tpu.models.fast_decoder import depth_to_space
+        seg = depth_to_space(seg, f)
+    return losses.cross_entropy(seg, batch["seg_label"],
+                                class_weights=class_weights,
+                                sample_weight=sample_weight)
+
+
 def make_hybrid_train_step(model, tx: optax.GradientTransformation,
                            cfg: Config,
                            cls_weights: Optional[jnp.ndarray] = None,
@@ -48,9 +71,7 @@ def make_hybrid_train_step(model, tx: optax.GradientTransformation,
             ignore_index=-1, sample_weight=batch["is_cls"])
         l_reg = losses.mse(
             out["reg"][:, 0], batch["reg_label"], sample_weight=batch["is_reg"])
-        l_seg = losses.cross_entropy(
-            out["seg"], batch["seg_label"], class_weights=seg_weights,
-            sample_weight=batch["is_seg"])
+        l_seg = _seg_xent(out, batch, seg_weights, batch["is_seg"])
         total = l_cls + l_reg + l_seg
         aux = {"loss": total, "loss_cls": l_cls, "loss_reg": l_reg,
                "loss_seg": l_seg, "batch_stats": mutated["batch_stats"]}
@@ -88,15 +109,27 @@ def make_seg_train_step(model, tx: optax.GradientTransformation, cfg: Config,
                           batch["image"], train=True,
                           mutable=["batch_stats"], rngs={"dropout": rng})
         seg, mutated = seg
+        f = None
         if isinstance(seg, dict):
+            f = seg.get("seg_s2d")
             seg = seg["seg"]
-        kwargs = {}
-        if cfg.loss in ("xent", "focal", "cent", "dice"):
-            kwargs["class_weights"] = class_weights
-        total = base(seg, batch["seg_label"], **kwargs)
-        if with_dice:
-            total = total + losses.dice(seg, batch["seg_label"],
-                                        class_weights=class_weights)
+        if (f and cfg.loss == "xent" and not with_dice
+                and "seg_label_s2d" in batch):
+            # s2d-domain xent (exact; see _seg_xent)
+            total = losses.cross_entropy_s2d(
+                seg, batch["seg_label_s2d"], f,
+                class_weights=class_weights)
+        else:
+            if f:
+                from wsiseg_tpu.models.fast_decoder import depth_to_space
+                seg = depth_to_space(seg, f)
+            kwargs = {}
+            if cfg.loss in ("xent", "focal", "cent", "dice"):
+                kwargs["class_weights"] = class_weights
+            total = base(seg, batch["seg_label"], **kwargs)
+            if with_dice:
+                total = total + losses.dice(seg, batch["seg_label"],
+                                            class_weights=class_weights)
         return total, {"loss": total, "batch_stats": mutated["batch_stats"]}
 
     def step(state, batch, rng):
