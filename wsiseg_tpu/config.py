@@ -152,6 +152,11 @@ class Config:
             raise ValueError("scan_resize must be >= 1")
 
     def replace(self, **kw) -> "Config":
+        # norm_dtype FOLLOWS compute_dtype (the "" sentinel is resolved at
+        # construction, so re-resolve on a compute_dtype change unless the
+        # caller pins norm_dtype explicitly in the same call)
+        if "compute_dtype" in kw and "norm_dtype" not in kw:
+            kw["norm_dtype"] = ""
         return dataclasses.replace(self, **kw)
 
     def asdict(self) -> dict:

@@ -61,46 +61,52 @@ class _S2dGroupBatchNorm(nn.Module):
     canonical per-channel BatchNorm's."""
     features: int
     f2: int
-    use_running_average: bool
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: str | None = None
     # output dtype (flax BatchNorm's ``dtype``); statistics are ALWAYS f32
     # (flax does the same — `force_float32_reductions`). With bf16 the
     # normalization here stays f32 and only the STORED result is bf16, so
-    # it is a hair more accurate than flax's bf16 arithmetic.
+    # it is a hair more accurate than flax's bf16 arithmetic. The module is
+    # TRAIN-ONLY (batch statistics, no running-average read path): the s2d
+    # tail is unreachable at eval time, where the canonical decoder (or the
+    # engine fast paths) runs instead.
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32       # scale/bias, like nn.BatchNorm;
+    #                                      running stats stay f32 (flax's
+    #                                      force_float32_reductions default)
 
     @nn.compact
     def __call__(self, x):
         c, f2 = self.features, self.f2
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
         xf = x.astype(jnp.float32)
-        if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            red = tuple(range(x.ndim - 1))
-            xr = xf.reshape(*x.shape[:-1], f2, c)
-            mean = jnp.mean(xr, axis=red + (x.ndim - 1,))
-            mean2 = jnp.mean(jnp.square(xr), axis=red + (x.ndim - 1,))
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-            if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1.0 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+        red = tuple(range(x.ndim - 1))
+        xr = xf.reshape(*x.shape[:-1], f2, c)
+        mean = jnp.mean(xr, axis=red + (x.ndim - 1,))
+        mean2 = jnp.mean(jnp.square(xr), axis=red + (x.ndim - 1,))
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            mean2 = jax.lax.pmean(mean2, self.axis_name)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
 
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = xf * jnp.tile(inv, f2) + jnp.tile(bias - mean * inv, f2)
+        inv = (jax.lax.rsqrt(var + self.epsilon)
+               * scale.astype(jnp.float32))
+        y = (xf * jnp.tile(inv, f2)
+             + jnp.tile(bias.astype(jnp.float32) - mean * inv, f2))
         return y.astype(self.dtype)
 
 
@@ -178,14 +184,16 @@ class _S2dTailBlock(nn.Module):
         x = _S2dConv(self.filters, self.in_features, t1, split=self.split,
                      dtype=self.dtype, param_dtype=self.param_dtype,
                      name="conv1")(x)
-        x = _S2dGroupBatchNorm(self.filters, f2, use_running_average=False,
-                               momentum=self.bn_momentum, dtype=self.norm_dtype,
+        x = _S2dGroupBatchNorm(self.filters, f2, momentum=self.bn_momentum,
+                               dtype=self.norm_dtype,
+                               param_dtype=self.param_dtype,
                                axis_name=self.axis_name, name="bn1")(x)
         x = nn.relu(x).astype(self.dtype)
         x = _S2dConv(self.filters, self.filters, t2, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="conv2")(x)
-        x = _S2dGroupBatchNorm(self.filters, f2, use_running_average=False,
-                               momentum=self.bn_momentum, dtype=self.norm_dtype,
+        x = _S2dGroupBatchNorm(self.filters, f2, momentum=self.bn_momentum,
+                               dtype=self.norm_dtype,
+                               param_dtype=self.param_dtype,
                                axis_name=self.axis_name, name="bn2")(x)
         return nn.relu(x).astype(self.dtype)
 
@@ -204,6 +212,23 @@ class UNetDecoder(nn.Module):
                               # them with losses.cross_entropy_s2d; equal to
                               # depth_to_space(out, 4) by construction
 
+    def emits_s2d(self, features, train: bool) -> bool:
+        """True when the train s2d tail applies to this feature pyramid
+        (the __call__ branch condition, kept as the single source of
+        truth)."""
+        c1 = features[4] if len(features) > 4 else None
+        c2 = features[3] if len(features) > 3 else None
+        return bool(self.s2d_tail and train
+                    and len(self.decoder_channels) == 5 and c1 is not None
+                    and c1.shape[1] % 4 == 0 and c1.shape[2] % 4 == 0
+                    and c2.shape[1] % 2 == 0 and c2.shape[2] % 2 == 0)
+
+    def emits_s2d_logits(self, features, train: bool) -> bool:
+        """True when __call__ will RETURN s2d(4)-layout logits — callers
+        (models/ynet.py) tag the output for losses.cross_entropy_s2d from
+        this, never from output-shape pattern matching."""
+        return self.s2d_logits and self.emits_s2d(features, train)
+
     @nn.compact
     def __call__(self, features, train: bool = False):
         """features: deepest-first pyramid [c5, c4, c3, c2, c1] from the
@@ -219,12 +244,9 @@ class UNetDecoder(nn.Module):
 
         x = features[0].astype(self.dtype)
         skips = list(features[1:]) + [None]  # c4, c3, c2, c1, then no skip
-        c1 = features[4] if len(features) > 4 else None
-        c2 = features[3] if len(features) > 3 else None
-        use_s2d = (self.s2d_tail and train
-                   and len(self.decoder_channels) == 5 and c1 is not None
-                   and c1.shape[1] % 4 == 0 and c1.shape[2] % 4 == 0
-                   and c2.shape[1] % 2 == 0 and c2.shape[2] % 2 == 0)
+        use_s2d = self.emits_s2d(features, train)
+        c1 = features[4] if use_s2d else None
+        c2 = features[3] if use_s2d else None
         n_native = 2 if use_s2d else len(self.decoder_channels)
         for i, (ch, skip) in enumerate(
                 zip(self.decoder_channels[:n_native], skips)):

@@ -81,10 +81,9 @@ class YNet(nn.Module):
             "cls": self.classifier_m(feats[0]),
             "reg": self.regressor_m(feats[0]),
         }
-        if seg.ndim == 4 and 0 < seg.shape[1] < x.shape[1]:
-            # the decoder emitted s2d-layout logits (static shape check —
-            # covers its runtime fallback to the native path)
-            out["seg_s2d"] = x.shape[1] // seg.shape[1]
+        if (isinstance(self.decoder_m, UNetDecoder)
+                and self.decoder_m.emits_s2d_logits(feats, train)):
+            out["seg_s2d"] = 4
         return out
 
     def encode(self, x, train: bool = False):
