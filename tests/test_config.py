@@ -52,3 +52,16 @@ def test_parse_args_cli():
     assert c.num_classes == 2
     assert c.class_probs == (0.0, 0.0)
     assert c.loss == "xent"
+
+
+def test_norm_dtype_follows_compute_dtype():
+    """The "" sentinel resolves to compute_dtype at construction AND across
+    replace(compute_dtype=...) (explicit norm_dtype pins it)."""
+    c = default_config()
+    assert c.norm_dtype == c.compute_dtype == "bfloat16"
+    assert default_config(compute_dtype="float32").norm_dtype == "float32"
+    assert c.replace(compute_dtype="float32").norm_dtype == "float32"
+    assert c.replace(lr=0.5).norm_dtype == "bfloat16"
+    assert (c.replace(compute_dtype="float32", norm_dtype="bfloat16")
+            .norm_dtype == "bfloat16")
+    assert parse_args(["--norm_dtype", "float32"]).norm_dtype == "float32"
