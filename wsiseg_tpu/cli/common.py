@@ -153,13 +153,22 @@ def make_eval_mesh(cfg: Config):
 
 
 def make_train_mesh(cfg: Config):
-    """Mesh for data-parallel training per the ``--mesh`` flag ("" = off,
-    "all" = every device, "N" = first N). Returns None when single-device."""
+    """Mesh for multi-device training per the ``--mesh`` flag ("" = off,
+    "all" = every device, "N" = first N data-parallel, "NxM" = N-way data ×
+    M-way SPATIAL parallel — each device owns a horizontal stripe of every
+    tile; see ``parallel.mesh.shard_batch_spatial``). Returns None when
+    single-device."""
     if not cfg.mesh or cfg.mesh in ("none", "0", "1"):
         return None
     import jax
 
     from wsiseg_tpu.parallel.mesh import make_mesh
+    if "x" in cfg.mesh:
+        nd, ns = (int(s) for s in cfg.mesh.split("x"))
+        if nd * ns <= 1:
+            return None
+        return make_mesh(devices=jax.devices()[:nd * ns], shape=(nd, ns),
+                         axes=(cfg.mesh_axes[0], "space"))
     n = jax.device_count() if cfg.mesh == "all" else int(cfg.mesh)
     if n <= 1:
         return None

@@ -25,15 +25,23 @@ _DONE = _Sentinel()
 
 def prefetch_to_device(batch_iter: Iterator, depth: int = 2,
                        device=None) -> Iterator:
-    """Wrap a host batch iterator: stage batches onto device ahead of use."""
+    """Wrap a host batch iterator: stage batches onto device ahead of use.
+
+    ``device`` may be a Device/Sharding (applied uniformly) or a CALLABLE
+    ``batch -> staged`` for per-key sharding (e.g. spatial-parallel batches
+    where images shard on (data, space) but scalars only on data)."""
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     err: list = []
 
     def worker():
         try:
             for b in batch_iter:
-                staged = jax.device_put(b, device) if device is not None \
-                    else jax.device_put(b)
+                if callable(device):
+                    staged = device(b)
+                elif device is not None:
+                    staged = jax.device_put(b, device)
+                else:
+                    staged = jax.device_put(b)
                 q.put(staged)
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)

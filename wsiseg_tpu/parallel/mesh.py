@@ -59,3 +59,37 @@ def canvas_row_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     the slide (the 'context parallel' analog for WSI stitching,
     SURVEY.md §5 long-context note)."""
     return NamedSharding(mesh, P(axis, None, None))
+
+
+SPATIAL_KEYS = ("image", "seg_label", "seg_label_s2d")
+
+
+def shard_batch_spatial(mesh: Mesh, batch: dict, data_axis: str = "data",
+                        space_axis: str = "space") -> dict:
+    """Stage a train batch onto a 2-D (data, space) mesh: images and dense
+    label maps shard on (batch, height), per-row scalars on batch only.
+
+    This is SPATIAL-PARALLEL training — the train-side analog of the
+    row-sharded inference canvas (SURVEY.md §5 "long-context" note): each
+    device owns a horizontal stripe of every tile, and GSPMD inserts the
+    convolution halo exchanges (collective-permutes along ICI) and global
+    BatchNorm/loss reductions from the sharding annotations alone. The math
+    is IDENTICAL to single-device (global batch stats, global loss sums);
+    use it when the per-device batch would otherwise be < 1, i.e. tiles too
+    large for one chip's HBM (e.g. 4096² regions).
+
+    The reference has no multi-device support at all (SURVEY.md §2.c)."""
+    sp = NamedSharding(mesh, P(data_axis, space_axis))
+    dp = NamedSharding(mesh, P(data_axis))
+    out = {}
+    for k, v in batch.items():
+        if k in SPATIAL_KEYS and getattr(v, "ndim", 0) >= 3:
+            n_space = mesh.shape[space_axis]
+            if v.shape[1] % n_space:
+                raise ValueError(
+                    f"{k} height {v.shape[1]} not divisible by the "
+                    f"space axis ({n_space})")
+            out[k] = jax.device_put(v, sp)
+        else:
+            out[k] = jax.device_put(v, dp)
+    return out

@@ -62,16 +62,32 @@ class Trainer:
         batch_sh = None
         if self.mesh is not None:
             from wsiseg_tpu.parallel.mesh import (batch_sharding,
-                                                  replicate_tree)
-            n_dev = self.mesh.devices.size
-            if cfg.batch_size % n_dev:
-                raise ValueError(
-                    f"global batch_size {cfg.batch_size} must divide evenly "
-                    f"over {n_dev} mesh devices")
-            self.state = replicate_tree(self.mesh, self.state)
-            batch_sh = batch_sharding(self.mesh, self.mesh.axis_names[0])
-            self.log(f"data-parallel training over {n_dev} devices "
-                     f"({cfg.batch_size // n_dev} per device)")
+                                                  replicate_tree,
+                                                  shard_batch_spatial)
+            if "space" in self.mesh.axis_names:
+                # hybrid data × SPATIAL parallel: images/label maps shard on
+                # (batch, height); GSPMD inserts the conv halo exchanges and
+                # keeps BatchNorm/loss reductions global — identical math
+                n_data = self.mesh.shape[self.mesh.axis_names[0]]
+                if cfg.batch_size % n_data:
+                    raise ValueError(
+                        f"global batch_size {cfg.batch_size} must divide "
+                        f"evenly over the {n_data}-way data axis")
+                self.state = replicate_tree(self.mesh, self.state)
+                mesh = self.mesh
+                batch_sh = lambda b: shard_batch_spatial(mesh, b)  # noqa: E731
+                self.log(f"data×spatial training over {dict(self.mesh.shape)}"
+                         f" ({cfg.batch_size // n_data} per data shard)")
+            else:
+                n_dev = self.mesh.devices.size
+                if cfg.batch_size % n_dev:
+                    raise ValueError(
+                        f"global batch_size {cfg.batch_size} must divide "
+                        f"evenly over {n_dev} mesh devices")
+                self.state = replicate_tree(self.mesh, self.state)
+                batch_sh = batch_sharding(self.mesh, self.mesh.axis_names[0])
+                self.log(f"data-parallel training over {n_dev} devices "
+                         f"({cfg.batch_size // n_dev} per device)")
 
         for epoch in range(start, end):
             t0 = time.time()
