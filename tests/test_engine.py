@@ -353,3 +353,104 @@ def test_fcn_fast_slides_in_flight(cfg, slide, model_and_vars):
     r2 = engine.device_throughput(plan, mode="fcn", iters=1,
                                   slides_in_flight=2)
     assert r1["sec_per_slide"] > 0 and r2["sec_per_slide"] > 0
+
+
+def _native_oracle_labels(model, variables, cfg, engine, plan):
+    """Whole-image flax YNet.segment on the SAME padded image + the
+    softmax/floor/argmax postprocess — the layout-independent oracle for
+    the fused fast path (identical global context, so it is valid for
+    PSPNet's whole-image pyramid pooling too)."""
+    img = engine._read_padded_level(plan)
+    x = jnp.asarray(img).astype(jnp.float32)[None] / 255.0
+    x = normalize(x, cfg.dataset_mean, cfg.dataset_std)
+    seg = jax.jit(lambda v, x: model.apply(v, x, method=YNet.segment))(
+        variables, x)[0]
+    g = np.asarray(seg, np.float32)
+    e = np.exp(g - g.max(-1, keepdims=True))
+    pr = e / e.sum(-1, keepdims=True)
+    pr = np.where(pr < np.asarray(cfg.class_probs, np.float32), 0.0, pr)
+    hs, ws = plan.stitch_hw
+    return pr.argmax(-1).astype(np.uint8)[:hs, :ws]
+
+
+@pytest.mark.parametrize("decoder", ["FPN", "PSPNet", "Linknet"])
+def test_fcn_fast_native_decoders(decoder, tmp_path):
+    """The whole-image fused FCN fast path covers the native-layout
+    decoder families: the flax decoder runs functionally on the pyramid
+    inside the single dispatch (models/infer_fast._apply_native_decoder)
+    and the postprocess shares the s2d plane contract
+    (engine._postprocess_native_planes). Must match the direct flax
+    YNet.segment oracle on the same padded image. Reference twin:
+    utils/eval.py:196-200 with the myargs.py:9-10 model_name selection."""
+    c = default_config(tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
+                       tile_stride_h=STRIDE, compute_dtype="float32",
+                       infer_batch_size=8, model_name=decoder,
+                       val_save_pth=str(tmp_path / "out"),
+                       wsi_mask_pth=str(tmp_path / "masks"))
+    model, variables = init_ynet(c, jax.random.PRNGKey(7),
+                                 tile_hw=(TILE, TILE))
+    s = SyntheticSlide(width=2048, height=1536, num_levels=3, seed=13)
+    plan = plan_slide("syn_nat", s, c, mask_cache_dir=None)
+    engine = DenseInferenceEngine(model, variables, c)
+    engine.fcn_fast_interpret = True
+    assert engine.fast_native and engine._fcn_fast_ok()
+
+    res = engine.predict_slide_fcn(plan)
+    oracle = _native_oracle_labels(model, variables, c, engine, plan)
+    agree = (res.labels == oracle).mean()
+    assert agree > 0.95, f"{decoder} fast/oracle agreement too low: {agree}"
+    assert res.labels.shape == plan.canvas_hw
+
+    # keep_canvas routes native decoders through the full-res canvas path
+    kc = engine.predict_slide_fcn(plan, keep_canvas=True)
+    assert kc.canvas is not None and kc.canvas.shape[:2] == plan.canvas_hw
+    agree2 = (kc.labels == res.labels).mean()
+    assert agree2 > 0.999
+
+
+def test_fcn_fast_resnet50_bottleneck(tmp_path):
+    """Bottleneck encoders (resnet50/101/152) run the same fused
+    whole-image path: v2 Pallas stem + functional Bottleneck stages
+    (fast_encoder._bottleneck_block) + the generic decode_cells tail.
+    Reference twin: train.py:29 smp.Unet('resnet50')."""
+    c = default_config(tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
+                       tile_stride_h=STRIDE, compute_dtype="float32",
+                       infer_batch_size=8, arch_encoder="resnet50",
+                       val_save_pth=str(tmp_path / "out"),
+                       wsi_mask_pth=str(tmp_path / "masks"))
+    model, variables = init_ynet(c, jax.random.PRNGKey(9),
+                                 tile_hw=(TILE, TILE))
+    s = SyntheticSlide(width=2048, height=1536, num_levels=3, seed=17)
+    plan = plan_slide("syn_r50", s, c, mask_cache_dir=None)
+    engine = DenseInferenceEngine(model, variables, c)
+    engine.fcn_fast_interpret = True
+    assert engine._fcn_fast_ok()
+
+    res = engine.predict_slide_fcn(plan)
+    oracle = _native_oracle_labels(model, variables, c, engine, plan)
+    agree = (res.labels == oracle).mean()
+    assert agree > 0.95, f"resnet50 fast/oracle agreement too low: {agree}"
+
+
+def test_predict_slides_fcn_native_group(tmp_path):
+    """Multi-slide grouped serving works unchanged for a native-layout
+    decoder (the plane contract makes the fused runners decoder-agnostic)."""
+    c = default_config(tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
+                       tile_stride_h=STRIDE, compute_dtype="float32",
+                       infer_batch_size=8, model_name="FPN",
+                       val_save_pth=str(tmp_path / "out"),
+                       wsi_mask_pth=str(tmp_path / "masks"))
+    model, variables = init_ynet(c, jax.random.PRNGKey(5),
+                                 tile_hw=(TILE, TILE))
+    slides = [SyntheticSlide(width=2048, height=1536, num_levels=3, seed=s)
+              for s in (31, 32)]
+    plans = [plan_slide(f"n{k}", s, c, mask_cache_dir=None)
+             for k, s in enumerate(slides)]
+    engine = DenseInferenceEngine(model, variables, c)
+    engine.fcn_fast_interpret = True
+
+    singles = [engine.predict_slide_fcn(p) for p in plans]
+    grouped = engine.predict_slides_fcn(plans)
+    for s_res, g_res in zip(singles, grouped):
+        np.testing.assert_array_equal(s_res.labels, g_res.labels)
+        np.testing.assert_allclose(s_res.heatmap, g_res.heatmap, atol=1e-6)

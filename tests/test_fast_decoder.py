@@ -42,6 +42,22 @@ def test_segment_fast_parity(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_segment_fast_parity_bottleneck(rng):
+    """The s2d decoder tail is channel-generic: exact for a Bottleneck
+    encoder's pyramid (2048/1024/512/256/64) too — the grid tile path
+    (`engine._segment`) routes resnet50+Unet through decode_fast.
+    Reference twin: train.py:29 smp.Unet('resnet50')."""
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32",
+                         arch_encoder="resnet50")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(3))
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    ref = jax.jit(lambda v, a: model.apply(v, a, method=YNet.segment))(
+        variables, x)
+    fast = jax.jit(lambda v, a: unet_segment_fast(model, v, a))(variables, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_upfold_kernel_exact(rng):
     """conv3x3(up2x(x)) == d2s(conv_s2d(x, upfold_kernel(w))): the upsample
     folds into the kernel with the input staying at cell resolution."""

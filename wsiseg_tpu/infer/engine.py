@@ -82,6 +82,12 @@ class DenseInferenceEngine:
         # space-to-depth decoder tail (models/fast_decoder): exact math,
         # ~10% faster dense forward on v5e; Unet-only
         self.fast_seg = fast_seg and getattr(model, "decoder", None) == "Unet"
+        # whole-image fused dispatch for NATIVE-layout decoders
+        # (FPN/PSPNet/Linknet): fused Pallas stem + functional encoder +
+        # flax decoder in one jit; postprocess shares the s2d plane
+        # contract via _postprocess_native_planes
+        self.fast_native = fast_seg and getattr(model, "decoder", None) in (
+            "FPN", "PSPNet", "Linknet")
         self.batch = batch_size or cfg.infer_batch_size
         # Whole-slide passes are single dispatches: a lax.fori_loop over tile
         # batches runs on-device end to end. This matters doubly here — it
@@ -210,14 +216,17 @@ class DenseInferenceEngine:
 
     def _fcn_fast_ok(self) -> bool:
         """Single-dispatch whole-image FCN path (Pallas stem + functional
-        net, models/infer_fast) applies: seg mode, no scan_resize, Unet +
-        BasicBlock encoder, fast_seg enabled, TPU backend (tests may set
+        net, models/infer_fast) applies: seg mode, no scan_resize, any
+        ENCODER_SPECS arch × any reference decoder family (Unet via the
+        s2d tail when ``fast_seg``; FPN/PSPNet/Linknet via their flax
+        decoders when ``fast_native``), TPU backend (tests may set
         ``self.fcn_fast_interpret = True`` to run the Pallas kernel in
         interpreter mode on CPU)."""
         from wsiseg_tpu.models.infer_fast import supports_infer_fast
         on_tpu = jax.devices()[0].platform != "cpu"
         return ((on_tpu or getattr(self, "fcn_fast_interpret", False))
-                and self.fast_seg and self.mode == "seg"
+                and (self.fast_seg or self.fast_native)
+                and self.mode == "seg"
                 and self.cfg.scan_resize == 1
                 and supports_infer_fast(self.model))
 
@@ -268,6 +277,35 @@ class DenseInferenceEngine:
                   if (keep_probs or keep_canvas) else None)
         return labels_p, heat_p, extras
 
+    def _postprocess_native_planes(self, seg, mask2_u8):
+        """Postprocess NATIVE-layout (H, W, nc) logits (the FPN/PSPNet/
+        Linknet fast path) into the SAME (16, H/4, W/4) u8 position-plane
+        contract as :meth:`_postprocess_s2d` at f=4 — plane order
+        (a·4 + b) matches :meth:`_interleave4` — so the 2-bit label
+        packing, the host interleave, and the multi-slide/slide-parallel
+        runners are shared unchanged. Full-res planar softmax/threshold
+        (classes on the outer axis); the tissue mask applies at cell (1/4)
+        resolution, the same granularity as the s2d path."""
+        cfg = self.cfg
+        g = jnp.transpose(seg, (2, 0, 1)).astype(jnp.float32)  # (nc, H, W)
+        floors = jnp.asarray(cfg.class_probs, jnp.float32)
+        m = jnp.max(g, axis=0)
+        e = jnp.exp(g - m)
+        pr = e / jnp.sum(e, axis=0)
+        pr = jnp.where(pr < floors[:, None, None], 0.0, pr)
+        labels = jnp.argmax(pr, axis=0).astype(jnp.uint8)
+        heat = pr[1] if self.mode == "cls" else pr[2] + pr[3]
+        heat_u8 = jnp.clip(jnp.round(heat * 255.0), 0, 255).astype(jnp.uint8)
+
+        def planes(x):     # (H, W) → (16, H/4, W/4); plane a·4+b = x[a::4, b::4]
+            hq, wq = x.shape[0] // 4, x.shape[1] // 4
+            return x.reshape(hq, 4, wq, 4).transpose(1, 3, 0, 2) \
+                    .reshape(16, hq, wq)
+
+        labels_p = planes(labels)
+        heat_p = jnp.where(mask2_u8 > 0, planes(heat_u8), 0)
+        return labels_p, heat_p
+
     def _make_fused_run_one(self, *, raw: bool, fold: bool, interp: bool,
                             hp: int, wp: int) -> Callable:
         """Un-jitted single-slide fused body: (variables, staged, mask2) →
@@ -283,14 +321,23 @@ class DenseInferenceEngine:
         mean = tuple(cfg.dataset_mean)
         std = tuple(cfg.dataset_std)
         arch = self.model.arch
+        dec = self.model.decoder
+        native = self.fast_native
         pack_dev = pack_for_stem_device if fold else pack_for_stem2_device
 
         def run_one(variables, staged, mask2):
             packed = pack_dev(staged, mean, hp, wp) if raw else staged
-            y_s = _segment_from_packed(
-                variables, packed, mean, std, arch=arch, h=hp, w=wp,
-                interpret=interp, fold=fold, planar_head=True)
-            labels_p, heat_p = self._postprocess_s2d(y_s, mask2)[:2]
+            if native:
+                seg = _segment_from_packed(
+                    variables, packed, mean, std, arch=arch, h=hp, w=wp,
+                    interpret=interp, decoder=dec)
+                labels_p, heat_p = self._postprocess_native_planes(
+                    seg, mask2)
+            else:
+                y_s = _segment_from_packed(
+                    variables, packed, mean, std, arch=arch, h=hp, w=wp,
+                    interpret=interp, fold=fold, planar_head=True)
+                labels_p, heat_p = self._postprocess_s2d(y_s, mask2)[:2]
             # labels fit 2 bits (nc ≤ 4): pack 4 position planes per byte
             # on device — 38% less D2H per slide on the relay-bound e2e
             # path (engine._unpack_labels is the host inverse)
@@ -395,9 +442,13 @@ class DenseInferenceEngine:
         # slow for multi-slide cold starts until the compile cache is
         # warm. Set engine.fcn_fold = True to enable (CPU interpret tests
         # always exercise it).
-        fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+        fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
+                and not self.fast_native)
         interp = getattr(self, "fcn_fast_interpret", False)
-        if self._fcn_planar_ok(plan):
+        # native decoders keep probs/canvas via the full-res canvas path
+        # below (their logits are already native layout — no s2d extras)
+        if self._fcn_planar_ok(plan) and not (
+                self.fast_native and (keep_probs or keep_canvas)):
             extras = None
             if not (keep_probs or keep_canvas):
                 # one fused dispatch: upload raw u8, pack + forward + s2d
@@ -780,11 +831,15 @@ class DenseInferenceEngine:
         geometry). Throughput is still reported in grid-equivalent
         patches/sec for comparability.
 
-        ``chunk=None`` (default) with a Unet/BasicBlock model runs the
-        whole image as ONE fused dispatch (Pallas stem + functional net);
-        an int ``chunk`` uses halo-padded chunk tiling through the flax
-        path. ``img`` accepts a pre-staged padded device image from
-        :meth:`stage_slide_fcn` (multi-slide upload/compute overlap).
+        ``chunk=None`` (default) with any supported (encoder, decoder)
+        family — every ENCODER_SPECS arch × Unet/FPN/PSPNet/Linknet —
+        runs the whole image as ONE fused dispatch (Pallas stem +
+        functional net); an int ``chunk`` uses halo-padded chunk tiling
+        through the flax path. ``img`` accepts a pre-staged padded device
+        image from :meth:`stage_slide_fcn` (multi-slide upload/compute
+        overlap). NOTE: PSPNet's pyramid pooling spans the whole image
+        (or chunk) in any FCN execution — its semantics differ from tiled
+        grid eval by construction.
 
         Slides whose scan-level pixel count exceeds
         ``fcn_fast_max_px`` (default 32M px ≈ 2.7× the bench slide; the
@@ -846,7 +901,8 @@ class DenseInferenceEngine:
 
         t0 = time.time()
         (hp, wp), = dims
-        fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+        fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
+                and not self.fast_native)
         interp = getattr(self, "fcn_fast_interpret", False)
         f = 2 if fold else S2D_HEAD_F
         masks = jnp.stack([self._half_mask(p, (hp // f, wp // f))
@@ -904,7 +960,8 @@ class DenseInferenceEngine:
 
         t0 = time.time()
         (hp, wp), = dims
-        fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+        fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
+                and not self.fast_native)
         interp = getattr(self, "fcn_fast_interpret", False)
         f = 2 if fold else S2D_HEAD_F
         masks = np.stack([np.asarray(self._half_mask(p, (hp // f, wp // f)))
@@ -1215,7 +1272,8 @@ class DenseInferenceEngine:
             # (the pack-included headline variant, VERDICT r2 weak #5).
             from wsiseg_tpu.models.infer_fast import pack_for_stem2
             raw = mode == "fcn_raw"
-            fold = getattr(self, "fcn_fold", False) and hp % 32 == 0
+            fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
+                    and not self.fast_native)
             pack_host = pack_for_stem if fold else pack_for_stem2
             staged = (jax.device_put(img) if raw
                       else jnp.asarray(pack_host(img, cfg.dataset_mean)))
@@ -1242,7 +1300,8 @@ class DenseInferenceEngine:
                     cv = seg_fn(
                         self.variables, staged, tuple(cfg.dataset_mean),
                         tuple(cfg.dataset_std), arch=self.model.arch,
-                        h=hp, w=wp, interpret=interp, fold=fold)[:hs, :ws]
+                        h=hp, w=wp, interpret=interp, fold=fold,
+                        decoder=self.model.decoder)[:hs, :ws]
                     return self._post(cv, mask, out_hw=(h2, w2))
         elif mode == "fcn_raw":
             raise ValueError(

@@ -19,7 +19,14 @@ import jax.numpy as jnp
 
 
 def _resize_nearest(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    b, _, _, c = x.shape
+    b, hh, ww, c = x.shape
+    if h == 2 * hh and w == 2 * ww:
+        # exact 2×: nearest == pixel repetition (both torch F.interpolate
+        # and jax.image.resize reduce to repeat at integer scale) — the
+        # broadcast form avoids resize's gather lowering, which is
+        # pathologically slow on TPU at slide scale (fast_decoder.upsample2x)
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, hh, 2, ww, 2, c))
+        return x.reshape(b, h, w, c)
     return jax.image.resize(x, (b, h, w, c), method="nearest")
 
 

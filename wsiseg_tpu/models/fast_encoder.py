@@ -185,12 +185,40 @@ def _basic_block_resfold(ep, eb, xx, i, j, dtype):
     return jax.nn.relu(_conv(a, k2) + t2).astype(dtype)
 
 
-def encode_stages(ep, eb, c1, stages, dtype, pooled=None):
+def _bottleneck_block(ep, eb, xx, i, j, stride, dtype):
+    """Functional inference Bottleneck (resnet50/101/152): 1×1 reduce,
+    3×3 (stride), 1×1 expand, each BN'd; projection shortcut on the first
+    block of every stage (including layer1_0, where channels grow 64→256
+    at stride 1). Mirrors ``models.resnet.Bottleneck`` — torchvision
+    semantics, stride on conv2 (reference resnets_shift.py:219-242)."""
+    p = ep[f"layer{i + 1}_{j}"]
+    b = eb[f"layer{i + 1}_{j}"]
+    identity = xx
+    pt = ((0, 0), (0, 0))
+    y = _conv(xx, _in_pad(p["conv1"]["kernel"],
+                          xx.shape[-1]).astype(dtype), padding=pt)
+    y = _bn_relu(y, p["bn1"], b["bn1"]).astype(dtype)
+    y = _conv(y, p["conv2"]["kernel"].astype(dtype), stride)
+    y = _bn_relu(y, p["bn2"], b["bn2"]).astype(dtype)
+    y = _conv(y, p["conv3"]["kernel"].astype(dtype), padding=pt)
+    y = _bn_relu(y, p["bn3"], b["bn3"], relu=False)
+    if "down_conv" in p:
+        identity = _conv(xx, _in_pad(p["down_conv"]["kernel"],
+                                     xx.shape[-1]).astype(dtype),
+                         stride, padding=pt)
+        identity = _bn_relu(identity, p["down_bn"], b["down_bn"],
+                            relu=False)
+    return jax.nn.relu(y + identity.astype(jnp.float32)).astype(dtype)
+
+
+def encode_stages(ep, eb, c1, stages, dtype, pooled=None,
+                  bottleneck: bool = False):
     """Functional inference forward of the four ResNet stages, starting
     from the stem output ``c1``. Returns [c5, c4, c3, c2, c1].
+    ``bottleneck=True`` runs Bottleneck blocks (resnet50/101/152).
 
     ``c1`` must be a genuine stem output (post-ReLU, non-negative): the
-    layer1 blocks run residual-folded (:func:`_basic_block_resfold`),
+    BasicBlock layer1 runs residual-folded (:func:`_basic_block_resfold`),
     which is exact only for non-negative block inputs.
 
     The stem maxpool runs via :func:`maxpool_s2d` when dims allow: its
@@ -211,7 +239,9 @@ def encode_stages(ep, eb, c1, stages, dtype, pooled=None):
     for i, n_blocks in enumerate(stages):
         for j in range(n_blocks):
             stride = 2 if (i > 0 and j == 0) else 1
-            if i == 0:
+            if bottleneck:
+                xx = _bottleneck_block(ep, eb, xx, i, j, stride, dtype)
+            elif i == 0:
                 # layer1 residual blocks with the add folded into the
                 # convs — measured v5e 63.7 → 56.8 ms on the whole-image
                 # forward (scripts/exp_r3f.py); exact (inputs ≥ 0)
@@ -277,11 +307,11 @@ def encode_stages_fold(ep, eb, c1, stages, dtype, *, br: int = 8,
 def resnet_encode_fast(model, variables, x, dtype=None):
     """Functional inference forward of the ResNet encoder with the s2d
     stem. Returns the deepest-first pyramid [c5, c4, c3, c2, c1] like
-    ``YNet.encode``. BasicBlock archs only; even input dims required."""
+    ``YNet.encode``. Any ENCODER_SPECS arch; even input dims required."""
     dtype = dtype or model.dtype
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
-    _, stages = ENCODER_SPECS[model.arch]
+    block_cls, stages = ENCODER_SPECS[model.arch]
 
     # stem: s2d(2) + 4x4 stride-1 conv at half resolution
     xs = space_to_depth(x.astype(dtype))
@@ -289,4 +319,5 @@ def resnet_encode_fast(model, variables, x, dtype=None):
     y = _conv(xs, k, padding=((2, 1), (2, 1)))
     c1 = _bn_relu(y, ep["stem_bn"], eb["stem_bn"]).astype(dtype)
 
-    return encode_stages(ep, eb, c1, stages, dtype)
+    return encode_stages(ep, eb, c1, stages, dtype,
+                         bottleneck=block_cls is not BasicBlock)

@@ -15,8 +15,14 @@ residual at the outermost border (the engine's ≥128 px slide halo is
 cropped away anyway).
 
 Capability twin of reference utils/eval.py:196-200 (encoder→decoder dense
-eval); BasicBlock encoders (resnet18/34) + Unet decoder only — others fall
-back to the flax path in the engine.
+eval). Covers every reference (encoder, decoder) family: BasicBlock
+(resnet18/34) and Bottleneck (resnet50/101/152) encoders; the Unet decoder
+runs the exact s2d cell-domain tail (models/fast_decoder), while
+FPN/PSPNet/Linknet run their flax decoders functionally on the whole-image
+feature pyramid inside the same single jit (native full-res logits out).
+Note PSPNet's pyramid pooling spans the WHOLE image here — as in any FCN
+execution of a global-pooling decoder, its receptive field differs from
+tiled eval (the chunked engine fallback has the same property per chunk).
 """
 
 from __future__ import annotations
@@ -36,9 +42,33 @@ from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights, stem_conv,
                                         stem_geometry)
 
 
+#: decoders whose fast path emits NATIVE-layout (H, W, nc) logits (the
+#: flax decoder applied functionally on the whole-image pyramid), vs the
+#: Unet s2d cell-domain tail which emits s2d(4) planes.
+NATIVE_DECODERS = ("FPN", "PSPNet", "Linknet")
+
+
 def supports_infer_fast(model) -> bool:
-    block_cls, _ = ENCODER_SPECS[model.arch]
-    return block_cls is BasicBlock and model.decoder == "Unet"
+    return (model.arch in ENCODER_SPECS
+            and model.decoder in ("Unet",) + NATIVE_DECODERS)
+
+
+def _apply_native_decoder(variables, feats, decoder: str):
+    """Run a non-Unet flax decoder functionally on the feature pyramid
+    (same trained variables; num_classes read from the head kernel's
+    static shape). Returns (H, W, nc) float32 logits, batch removed."""
+    from wsiseg_tpu.models.decoders import (FPNDecoder, LinknetDecoder,
+                                            PSPDecoder)
+
+    dp = variables["params"]["decoder"]
+    nc = dp["seg_head"]["kernel"].shape[-1]
+    cls = {"FPN": FPNDecoder, "PSPNet": PSPDecoder,
+           "Linknet": LinknetDecoder}[decoder]
+    dec = cls(num_classes=nc, dtype=jnp.bfloat16)
+    seg = dec.apply(
+        {"params": dp, "batch_stats": variables["batch_stats"]["decoder"]},
+        feats, train=False)
+    return seg[0]
 
 
 def pack_for_stem(img_u8: np.ndarray, mean) -> np.ndarray:
@@ -112,12 +142,12 @@ def pack_for_stem2_device(img_u8, mean, h: int, w: int):
 
 @partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold",
                                    "planar_head", "fold_encoder",
-                                   "use_chain"))
+                                   "use_chain", "decoder"))
 def _segment_raw(variables, img_u8, dataset_mean, dataset_std,
                  *, arch: str, h: int, w: int,
                  interpret: bool = False, fold: bool = False,
                  planar_head: bool = False, fold_encoder: bool = False,
-                 use_chain: bool = False):
+                 use_chain: bool = False, decoder: str = "Unet"):
     """One-jit whole-image forward from the RAW (H, W, 3) uint8 image:
     device-side stem packing + :func:`_segment_packed`'s body. The
     non-fold path packs for the fused v2 stem."""
@@ -126,22 +156,22 @@ def _segment_raw(variables, img_u8, dataset_mean, dataset_std,
     return _segment_from_packed(
         variables, packed, dataset_mean, dataset_std, arch=arch, h=h,
         w=w, interpret=interpret, fold=fold, planar_head=planar_head,
-        fold_encoder=fold_encoder, use_chain=use_chain)
+        fold_encoder=fold_encoder, use_chain=use_chain, decoder=decoder)
 
 
 @partial(jax.jit, static_argnames=("arch", "h", "w", "interpret", "fold",
                                    "planar_head", "fold_encoder",
-                                   "use_chain"))
+                                   "use_chain", "decoder"))
 def _segment_packed(variables, img_packed, dataset_mean, dataset_std,
                     *, arch: str, h: int, w: int,
                     interpret: bool = False, fold: bool = False,
                     planar_head: bool = False, fold_encoder: bool = False,
-                    use_chain: bool = False):
+                    use_chain: bool = False, decoder: str = "Unet"):
     return _segment_from_packed(
         variables, img_packed, dataset_mean, dataset_std, arch=arch,
         h=h, w=w, interpret=interpret, fold=fold,
         planar_head=planar_head, fold_encoder=fold_encoder,
-        use_chain=use_chain)
+        use_chain=use_chain, decoder=decoder)
 
 
 def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
@@ -149,10 +179,13 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
                          interpret: bool = False, fold: bool = False,
                          planar_head: bool = False,
                          fold_encoder: bool = False,
-                         use_chain: bool = False):
+                         use_chain: bool = False, decoder: str = "Unet"):
     ep = variables["params"]["encoder"]
     eb = variables["batch_stats"]["encoder"]
-    _, stages = ENCODER_SPECS[arch]
+    block_cls, stages = ENCODER_SPECS[arch]
+    bottleneck = block_cls is not BasicBlock
+    assert decoder == "Unet" or not fold, \
+        "the fold (conv-chain) decoder is Unet-only"
 
     if img_packed.shape[1] in (12, 16):
         # FUSED v2 stem path (quarter-cell packing): conv+BN+ReLU+maxpool
@@ -173,7 +206,15 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
         half = h // 4
         c1s2d = c1s2d[:half][None]      # s2d(c1), emitted by the kernel
         feats = encode_stages(ep, eb, None, stages, jnp.bfloat16,
-                              pooled=pool[:half][None])
+                              pooled=pool[:half][None],
+                              bottleneck=bottleneck)
+        if decoder != "Unet":
+            if decoder == "Linknet":
+                # Linknet's block3 skip is the native c1 — recover it
+                # from the stem kernel's s2d emission (one relayout)
+                from wsiseg_tpu.models.fast_decoder import depth_to_space
+                feats[4] = depth_to_space(c1s2d)
+            return _apply_native_decoder(variables, feats, decoder)
         if planar_head:
             return decode_cells(variables, feats, jnp.bfloat16,
                                 s2d_head=True, skip3_s2d=c1s2d)[0]
@@ -205,7 +246,10 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
                                interpret=interpret)
         return decode_fold(variables, feats, jnp.bfloat16,
                            use_chain=use_chain, interpret=interpret)[0]
-    feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16)
+    feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16,
+                          bottleneck=bottleneck)
+    if decoder != "Unet":
+        return _apply_native_decoder(variables, feats, decoder)
     if planar_head:
         return decode_cells(variables, feats, jnp.bfloat16,
                             s2d_head=True)[0]
@@ -220,9 +264,14 @@ def segment_whole_image(model, variables, img_u8: np.ndarray,
     """Dense segmentation logits for one (H, W, 3) uint8 image (H, W even,
     W/2 lane-aligned). Returns (H, W, num_classes) float32 on device.
     ``fold=True`` routes layer 1 + decoder blocks 2-4 through the fused
-    Pallas conv-chain kernels (requires H, W multiples of 32)."""
+    Pallas conv-chain kernels (requires H, W multiples of 32; Unet only).
+    Non-Unet decoders always return native-layout logits (``planar_head``
+    and ``fold`` are ignored)."""
     h, w = img_u8.shape[:2]
+    native = model.decoder != "Unet"
     return _segment_raw(variables, jnp.asarray(np.asarray(img_u8)),
                         tuple(dataset_mean), tuple(dataset_std),
                         arch=model.arch, h=h, w=w, interpret=interpret,
-                        fold=fold, planar_head=planar_head)
+                        fold=fold and not native,
+                        planar_head=planar_head and not native,
+                        decoder=model.decoder)
