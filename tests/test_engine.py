@@ -375,12 +375,13 @@ def _native_oracle_labels(model, variables, cfg, engine, plan):
 
 @pytest.mark.parametrize("decoder", ["FPN", "PSPNet", "Linknet"])
 def test_fcn_fast_native_decoders(decoder, tmp_path):
-    """The whole-image fused FCN fast path covers the native-layout
-    decoder families: the flax decoder runs functionally on the pyramid
-    inside the single dispatch (models/infer_fast._apply_native_decoder)
-    and the postprocess shares the s2d plane contract
-    (engine._postprocess_native_planes). Must match the direct flax
-    YNet.segment oracle on the same padded image. Reference twin:
+    """The whole-image fused FCN fast path covers the non-Unet decoder
+    families: FPN/PSPNet run their flax decoders functionally on the
+    pyramid inside the single dispatch (models/infer_fast.
+    _apply_native_decoder + engine._postprocess_native_planes); Linknet
+    runs the s2d cell-domain tail (fast_decoder.decode_linknet_cells)
+    sharing the Unet planar head contract. All must match the direct
+    flax YNet.segment oracle on the same padded image. Reference twin:
     utils/eval.py:196-200 with the myargs.py:9-10 model_name selection."""
     c = default_config(tile_w=TILE, tile_h=TILE, tile_stride_w=STRIDE,
                        tile_stride_h=STRIDE, compute_dtype="float32",
@@ -393,7 +394,9 @@ def test_fcn_fast_native_decoders(decoder, tmp_path):
     plan = plan_slide("syn_nat", s, c, mask_cache_dir=None)
     engine = DenseInferenceEngine(model, variables, c)
     engine.fcn_fast_interpret = True
-    assert engine.fast_native and engine._fcn_fast_ok()
+    assert (engine.fast_linknet if decoder == "Linknet"
+            else engine.fast_native)
+    assert engine._fcn_fast_ok()
 
     res = engine.predict_slide_fcn(plan)
     oracle = _native_oracle_labels(model, variables, c, engine, plan)

@@ -58,6 +58,33 @@ def test_segment_fast_parity_bottleneck(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_decode_linknet_cells_parity(rng):
+    """Linknet s2d cell-domain tail (blocks 3-4 + head at H/4 cells)
+    matches the flax LinknetDecoder away from the outer border (cell-wise
+    SAME padding differs within 4 px of the edge — cropped by the
+    engine's slide halo in production). Also checks the s2d(4) head
+    layout inverts to the native logits exactly."""
+    from wsiseg_tpu.models.fast_decoder import decode_linknet_cells
+    cfg = default_config(tile_w=64, tile_h=64, compute_dtype="float32",
+                         model_name="Linknet")
+    model, variables = init_ynet(cfg, jax.random.PRNGKey(4))
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    ref = np.asarray(jax.jit(
+        lambda v, a: model.apply(v, a, method=YNet.segment))(variables, x))
+    feats = model.apply(variables, x, method=YNet.encode)
+    fast = np.asarray(decode_linknet_cells(variables, feats, jnp.float32,
+                                           s2d_head=False))
+    # three cell-grid 3x3 convs (block3 up+conv2, block4 up+conv2, head)
+    # propagate the border-cell pad difference ≤3 cells = 12 px inward
+    np.testing.assert_allclose(ref[:, 16:-16, 16:-16],
+                               fast[:, 16:-16, 16:-16],
+                               atol=1e-3, rtol=1e-3)
+    y_s2d = decode_linknet_cells(variables, feats, jnp.float32,
+                                 s2d_head=True)
+    np.testing.assert_allclose(
+        np.asarray(depth_to_space(y_s2d, 4)), fast, atol=1e-5, rtol=1e-5)
+
+
 def test_upfold_kernel_exact(rng):
     """conv3x3(up2x(x)) == d2s(conv_s2d(x, upfold_kernel(w))): the upsample
     folds into the kernel with the input staying at cell resolution."""

@@ -83,11 +83,16 @@ class DenseInferenceEngine:
         # ~10% faster dense forward on v5e; Unet-only
         self.fast_seg = fast_seg and getattr(model, "decoder", None) == "Unet"
         # whole-image fused dispatch for NATIVE-layout decoders
-        # (FPN/PSPNet/Linknet): fused Pallas stem + functional encoder +
-        # flax decoder in one jit; postprocess shares the s2d plane
-        # contract via _postprocess_native_planes
+        # (FPN/PSPNet): fused Pallas stem + functional encoder + flax
+        # decoder in one jit; postprocess shares the s2d plane contract
+        # via _postprocess_native_planes
         self.fast_native = fast_seg and getattr(model, "decoder", None) in (
-            "FPN", "PSPNet", "Linknet")
+            "FPN", "PSPNet")
+        # Linknet runs the s2d cell-domain decoder tail
+        # (fast_decoder.decode_linknet_cells) and shares the Unet planar
+        # S2D_HEAD_F head contract end to end
+        self.fast_linknet = fast_seg and getattr(
+            model, "decoder", None) == "Linknet"
         self.batch = batch_size or cfg.infer_batch_size
         # Whole-slide passes are single dispatches: a lax.fori_loop over tile
         # batches runs on-device end to end. This matters doubly here — it
@@ -225,7 +230,8 @@ class DenseInferenceEngine:
         from wsiseg_tpu.models.infer_fast import supports_infer_fast
         on_tpu = jax.devices()[0].platform != "cpu"
         return ((on_tpu or getattr(self, "fcn_fast_interpret", False))
-                and (self.fast_seg or self.fast_native)
+                and (self.fast_seg or self.fast_native
+                     or self.fast_linknet)
                 and self.mode == "seg"
                 and self.cfg.scan_resize == 1
                 and supports_infer_fast(self.model))
@@ -334,9 +340,12 @@ class DenseInferenceEngine:
                 labels_p, heat_p = self._postprocess_native_planes(
                     seg, mask2)
             else:
+                # Unet (s2d tail) and Linknet (s2d cell-domain tail) both
+                # emit the S2D_HEAD_F plane head layout
                 y_s = _segment_from_packed(
                     variables, packed, mean, std, arch=arch, h=hp, w=wp,
-                    interpret=interp, fold=fold, planar_head=True)
+                    interpret=interp, fold=fold, planar_head=True,
+                    decoder=dec)
                 labels_p, heat_p = self._postprocess_s2d(y_s, mask2)[:2]
             # labels fit 2 bits (nc ≤ 4): pack 4 position planes per byte
             # on device — 38% less D2H per slide on the relay-bound e2e
@@ -443,7 +452,7 @@ class DenseInferenceEngine:
         # warm. Set engine.fcn_fold = True to enable (CPU interpret tests
         # always exercise it).
         fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
-                and not self.fast_native)
+                and self.fast_seg)
         interp = getattr(self, "fcn_fast_interpret", False)
         # native decoders keep probs/canvas via the full-res canvas path
         # below (their logits are already native layout — no s2d extras)
@@ -902,7 +911,7 @@ class DenseInferenceEngine:
         t0 = time.time()
         (hp, wp), = dims
         fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
-                and not self.fast_native)
+                and self.fast_seg)
         interp = getattr(self, "fcn_fast_interpret", False)
         f = 2 if fold else S2D_HEAD_F
         masks = jnp.stack([self._half_mask(p, (hp // f, wp // f))
@@ -961,7 +970,7 @@ class DenseInferenceEngine:
         t0 = time.time()
         (hp, wp), = dims
         fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
-                and not self.fast_native)
+                and self.fast_seg)
         interp = getattr(self, "fcn_fast_interpret", False)
         f = 2 if fold else S2D_HEAD_F
         masks = np.stack([np.asarray(self._half_mask(p, (hp // f, wp // f)))
@@ -1273,7 +1282,7 @@ class DenseInferenceEngine:
             from wsiseg_tpu.models.infer_fast import pack_for_stem2
             raw = mode == "fcn_raw"
             fold = (getattr(self, "fcn_fold", False) and hp % 32 == 0
-                    and not self.fast_native)
+                    and self.fast_seg)
             pack_host = pack_for_stem if fold else pack_for_stem2
             staged = (jax.device_put(img) if raw
                       else jnp.asarray(pack_host(img, cfg.dataset_mean)))

@@ -16,10 +16,11 @@ cropped away anyway).
 
 Capability twin of reference utils/eval.py:196-200 (encoder→decoder dense
 eval). Covers every reference (encoder, decoder) family: BasicBlock
-(resnet18/34) and Bottleneck (resnet50/101/152) encoders; the Unet decoder
-runs the exact s2d cell-domain tail (models/fast_decoder), while
-FPN/PSPNet/Linknet run their flax decoders functionally on the whole-image
-feature pyramid inside the same single jit (native full-res logits out).
+(resnet18/34) and Bottleneck (resnet50/101/152) encoders; Unet and Linknet
+run exact s2d cell-domain tails (models/fast_decoder.decode_cells /
+decode_linknet_cells), while FPN/PSPNet run their flax decoders
+functionally on the whole-image feature pyramid inside the same single jit
+(native full-res logits out).
 Note PSPNet's pyramid pooling spans the WHOLE image here — as in any FCN
 execution of a global-pooling decoder, its receptive field differs from
 tiled eval (the chunked engine fallback has the same property per chunk).
@@ -43,14 +44,15 @@ from wsiseg_tpu.ops.pallas_stem import (fold_stem_weights, stem_conv,
 
 
 #: decoders whose fast path emits NATIVE-layout (H, W, nc) logits (the
-#: flax decoder applied functionally on the whole-image pyramid), vs the
-#: Unet s2d cell-domain tail which emits s2d(4) planes.
-NATIVE_DECODERS = ("FPN", "PSPNet", "Linknet")
+#: flax decoder applied functionally on the whole-image pyramid). Unet and
+#: Linknet instead run s2d cell-domain tails emitting s2d(4) head planes
+#: (fast_decoder.decode_cells / decode_linknet_cells).
+NATIVE_DECODERS = ("FPN", "PSPNet")
 
 
 def supports_infer_fast(model) -> bool:
     return (model.arch in ENCODER_SPECS
-            and model.decoder in ("Unet",) + NATIVE_DECODERS)
+            and model.decoder in ("Unet", "Linknet") + NATIVE_DECODERS)
 
 
 def _apply_native_decoder(variables, feats, decoder: str):
@@ -208,12 +210,15 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
         feats = encode_stages(ep, eb, None, stages, jnp.bfloat16,
                               pooled=pool[:half][None],
                               bottleneck=bottleneck)
+        if decoder == "Linknet":
+            # s2d cell-domain Linknet tail: block3's residual skip IS
+            # space_to_depth(c1), which the stem kernel emits — zero
+            # relayout (fast_decoder.decode_linknet_cells)
+            from wsiseg_tpu.models.fast_decoder import decode_linknet_cells
+            return decode_linknet_cells(variables, feats, jnp.bfloat16,
+                                        s2d_head=planar_head,
+                                        skip3_s2d=c1s2d)[0]
         if decoder != "Unet":
-            if decoder == "Linknet":
-                # Linknet's block3 skip is the native c1 — recover it
-                # from the stem kernel's s2d emission (one relayout)
-                from wsiseg_tpu.models.fast_decoder import depth_to_space
-                feats[4] = depth_to_space(c1s2d)
             return _apply_native_decoder(variables, feats, decoder)
         if planar_head:
             return decode_cells(variables, feats, jnp.bfloat16,
@@ -248,6 +253,10 @@ def _segment_from_packed(variables, img_packed, dataset_mean, dataset_std,
                            use_chain=use_chain, interpret=interpret)[0]
     feats = encode_stages(ep, eb, c1, stages, jnp.bfloat16,
                           bottleneck=bottleneck)
+    if decoder == "Linknet":
+        from wsiseg_tpu.models.fast_decoder import decode_linknet_cells
+        return decode_linknet_cells(variables, feats, jnp.bfloat16,
+                                    s2d_head=planar_head)[0]
     if decoder != "Unet":
         return _apply_native_decoder(variables, feats, decoder)
     if planar_head:
@@ -268,10 +277,10 @@ def segment_whole_image(model, variables, img_u8: np.ndarray,
     Non-Unet decoders always return native-layout logits (``planar_head``
     and ``fold`` are ignored)."""
     h, w = img_u8.shape[:2]
-    native = model.decoder != "Unet"
+    native = model.decoder in NATIVE_DECODERS       # FPN/PSPNet
     return _segment_raw(variables, jnp.asarray(np.asarray(img_u8)),
                         tuple(dataset_mean), tuple(dataset_std),
                         arch=model.arch, h=h, w=w, interpret=interpret,
-                        fold=fold and not native,
+                        fold=fold and model.decoder == "Unet",
                         planar_head=planar_head and not native,
                         decoder=model.decoder)
