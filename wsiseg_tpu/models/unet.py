@@ -111,12 +111,13 @@ class _S2dGroupBatchNorm(nn.Module):
 
 
 class _S2dConv(nn.Module):
-    """``nn.Conv``-compatible params (kernel (3,3,Cin,Cout)[, bias (Cout,)]),
-    executed with an exact s2d-domain kernel transform
-    (fast_decoder.{upfold,s2d,upfold2}_kernel)."""
+    """``nn.Conv``-compatible params (kernel (kh,kw,Cin,Cout)[, bias
+    (Cout,)]), executed with an exact s2d-domain kernel transform
+    (fast_decoder.{upfold,s2d,upfold2}_kernel / _block_diag_1x1)."""
     features: int
     in_features: int
-    transform: str            # 'upfold_cat' | 's2d2' | 'upfold2' | 's2d4'
+    transform: str            # 'upfold_cat' | 'upfold' | 's2d2' | 'upfold2'
+    #                           | 's2d4' | 'diag4' | 'diag16'
     split: int = 0            # 'upfold_cat': logical channels on the up path
     use_bias: bool = False
     bias_tile: int = 1
@@ -125,13 +126,23 @@ class _S2dConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from wsiseg_tpu.models.fast_decoder import (s2d_kernel, s2d_kernel_f,
+        from wsiseg_tpu.models.fast_decoder import (_block_diag_1x1,
+                                                    s2d_kernel, s2d_kernel_f,
                                                     upfold2_kernel,
                                                     upfold_kernel)
+        ksz = 1 if self.transform.startswith("diag") else 3
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, self.in_features, self.features),
+                            (ksz, ksz, self.in_features, self.features),
                             self.param_dtype)
-        if self.transform == "upfold_cat":
+        pad = [(1, 1), (1, 1)]
+        if self.transform == "upfold":
+            k = upfold_kernel(kernel)
+        elif self.transform in ("diag4", "diag16"):
+            # 1×1 conv applied in s2d(f) layout: exact block-diagonal
+            # kernel kron(I_f², w); no spatial support → VALID padding
+            k = _block_diag_1x1(kernel, int(self.transform[4:]))
+            pad = [(0, 0), (0, 0)]
+        elif self.transform == "upfold_cat":
             k = jnp.concatenate([upfold_kernel(kernel[:, :, :self.split]),
                                  s2d_kernel(kernel[:, :, self.split:])],
                                 axis=2)
@@ -147,7 +158,7 @@ class _S2dConv(nn.Module):
         # transpose sees consistent dtypes; BN upcasts to f32 right after
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k.astype(self.dtype), (1, 1),
-            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            self.param_dtype)

@@ -30,8 +30,8 @@ class YNet(nn.Module):
     param_dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32
     axis_name: str | None = None
-    # train-mode s2d cell-domain decoder tail (exact; Unet only) — see
-    # unet.UNetDecoder.s2d_tail
+    # train-mode s2d cell-domain decoder tail (exact; Unet and Linknet) —
+    # see unet.UNetDecoder.s2d_tail / decoders.LinknetDecoder.s2d_tail
     s2d_train_tail: bool = False
     # with the tail: emit seg logits in s2d(4) layout at train time and tag
     # the output dict with "seg_s2d": 4 so steps pair them with
@@ -55,7 +55,8 @@ class YNet(nn.Module):
         if self.decoder not in decoder_cls:
             raise ValueError(f"unknown decoder {self.decoder!r}")
         extra = ({"s2d_tail": True}
-                 if self.s2d_train_tail and self.decoder == "Unet" else {})
+                 if self.s2d_train_tail
+                 and self.decoder in ("Unet", "Linknet") else {})
         if extra and self.s2d_train_logits:
             extra["s2d_logits"] = True
         self.decoder_m = decoder_cls[self.decoder](
@@ -81,7 +82,7 @@ class YNet(nn.Module):
             "cls": self.classifier_m(feats[0]),
             "reg": self.regressor_m(feats[0]),
         }
-        if (isinstance(self.decoder_m, UNetDecoder)
+        if (hasattr(self.decoder_m, "emits_s2d_logits")
                 and self.decoder_m.emits_s2d_logits(feats, train)):
             out["seg_s2d"] = 4
         return out
