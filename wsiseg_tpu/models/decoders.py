@@ -232,6 +232,16 @@ class _S2dLinknetTailBlock(nn.Module):
 class LinknetDecoder(nn.Module):
     """Linknet: each decoder block residual-adds the encoder skip.
 
+    Capability twin of ``smp.Linknet``'s decoder (reference train.py:29
+    with myargs.py:9-10), with one deliberate divergence: the 2× upsample
+    is nearest-neighbor + 3×3 conv instead of smp's ConvTranspose2d(k=4,
+    s=2) — same parameter count and receptive field, but MXU-friendly
+    (a transposed conv lowers to a dilated conv with 3/4 zero taps) and
+    checkerboard-free. Consequence: smp Linknet DECODER checkpoints are
+    not weight-importable (encoders still are, models/torch_import.py);
+    torch-side parity is witnessed by an in-test replica of THIS
+    structure (tests/test_torch_parity.py).
+
     TRAIN-mode fast tail (``s2d_tail=True``): blocks 3-4 + head execute
     in s2d cell domains with exactly transformed kernels and group-BN —
     the same lane-starvation fix as ``unet.UNetDecoder.s2d_tail`` (the
