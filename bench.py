@@ -27,6 +27,8 @@ Baseline divisor: the driver target of 10,000 512² patches/s/chip.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -54,6 +56,20 @@ def _synthetic_level2(width: int, height: int, seed: int = 0) -> np.ndarray:
 
 def main():
     import jax
+
+    # host-contention guard: per-iteration dispatch syncs go through the
+    # relay's RPC client, so a saturated host inflates every timing
+    # (measured: identical raw-pack graph 2.7k p/s with the pytest suite
+    # running vs 9.6k alone). Warn so contaminated numbers self-identify.
+    try:
+        load = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        if load > 0.5 * ncpu:
+            print(f"WARNING: host load {load:.1f} on {ncpu} CPUs — "
+                  "timings will read low; re-run on an idle host",
+                  file=sys.stderr)
+    except OSError:
+        pass
 
     # persistent compile cache: the TPU relay's remote compile helper takes
     # minutes per Pallas kernel; cache survives process restarts
