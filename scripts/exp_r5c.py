@@ -30,8 +30,9 @@ def _synthetic_level2(w, h, seed=0):
     return np.ascontiguousarray(img[:h, :w])
 
 
-def pack_v0(img_u8, mean, h, w):
-    """current: reshape + u8 transpose(0,2,1) + pad 12->16"""
+def _canvas(img_u8, mean, h, w):
+    """Shared pack preamble: pad-colored canvas with the image pasted at
+    (3, 3); returns (canvas (hin, win, 3) u8, hin, wc4)."""
     from wsiseg_tpu.ops.pallas_stem import stem2_geometry
     hin, wc4, _ = stem2_geometry(h // 2, w // 2)
     win = 4 * wc4
@@ -39,35 +40,26 @@ def pack_v0(img_u8, mean, h, w):
                        255).astype(jnp.uint8)
     canvas = jnp.broadcast_to(pad_rgb, (hin, win, 3))
     img = img_u8[:hin - 3, :win - 3]
-    canvas = jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0))
+    return jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0)), hin, wc4
+
+
+def pack_v0(img_u8, mean, h, w):
+    """current: reshape + u8 transpose(0,2,1) + pad 12->16"""
+    canvas, hin, wc4 = _canvas(img_u8, mean, h, w)
     packed = canvas.reshape(hin, wc4, 12).transpose(0, 2, 1)
     return jnp.pad(packed, ((0, 0), (0, 4), (0, 0)))
 
 
 def pack_v1(img_u8, mean, h, w):
     """pad 12->16 lanes FIRST, then one (..,wc4,16)->(..,16,wc4) u8 transpose"""
-    from wsiseg_tpu.ops.pallas_stem import stem2_geometry
-    hin, wc4, _ = stem2_geometry(h // 2, w // 2)
-    win = 4 * wc4
-    pad_rgb = jnp.clip(jnp.round(255.0 * jnp.asarray(mean)), 0,
-                       255).astype(jnp.uint8)
-    canvas = jnp.broadcast_to(pad_rgb, (hin, win, 3))
-    img = img_u8[:hin - 3, :win - 3]
-    canvas = jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0))
+    canvas, hin, wc4 = _canvas(img_u8, mean, h, w)
     packed = jnp.pad(canvas.reshape(hin, wc4, 12), ((0, 0), (0, 0), (0, 4)))
     return packed.transpose(0, 2, 1)
 
 
 def pack_v2(img_u8, mean, h, w):
     """widen u8->i32, transpose in 32-bit, narrow back"""
-    from wsiseg_tpu.ops.pallas_stem import stem2_geometry
-    hin, wc4, _ = stem2_geometry(h // 2, w // 2)
-    win = 4 * wc4
-    pad_rgb = jnp.clip(jnp.round(255.0 * jnp.asarray(mean)), 0,
-                       255).astype(jnp.uint8)
-    canvas = jnp.broadcast_to(pad_rgb, (hin, win, 3))
-    img = img_u8[:hin - 3, :win - 3]
-    canvas = jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0))
+    canvas, hin, wc4 = _canvas(img_u8, mean, h, w)
     packed = canvas.reshape(hin, wc4, 12).astype(jnp.int32)
     packed = packed.transpose(0, 2, 1).astype(jnp.uint8)
     return jnp.pad(packed, ((0, 0), (0, 4), (0, 0)))
@@ -75,14 +67,7 @@ def pack_v2(img_u8, mean, h, w):
 
 def pack_v3(img_u8, mean, h, w):
     """12 u8 lane-slices -> stack on a new sublane axis (no big transpose)"""
-    from wsiseg_tpu.ops.pallas_stem import stem2_geometry
-    hin, wc4, _ = stem2_geometry(h // 2, w // 2)
-    win = 4 * wc4
-    pad_rgb = jnp.clip(jnp.round(255.0 * jnp.asarray(mean)), 0,
-                       255).astype(jnp.uint8)
-    canvas = jnp.broadcast_to(pad_rgb, (hin, win, 3))
-    img = img_u8[:hin - 3, :win - 3]
-    canvas = jax.lax.dynamic_update_slice(canvas, img, (3, 3, 0))
+    canvas, hin, wc4 = _canvas(img_u8, mean, h, w)
     flat = canvas.reshape(hin, wc4 * 12)
     cols = [flat[:, j::12] for j in range(12)]
     cols += [jnp.zeros_like(cols[0])] * 4

@@ -169,7 +169,12 @@ def add_s2d_seg_labels(batch: Dict, cfg: Config, f: int = 4) -> Dict:
     losses / with_dice, and steps fall back to it exactly when the model
     emits native-layout logits."""
     lab = batch.get("seg_label")
-    div = {"Unet": 2 * f, "Linknet": f}.get(
+    # each decoder class owns its divisibility condition (S2D_LABEL_DIV,
+    # kept next to emits_s2d so the two can't silently desynchronize)
+    from wsiseg_tpu.models.decoders import LinknetDecoder
+    from wsiseg_tpu.models.unet import UNetDecoder
+    div = {"Unet": UNetDecoder.S2D_LABEL_DIV,
+           "Linknet": LinknetDecoder.S2D_LABEL_DIV}.get(
         getattr(cfg, "model_name", "Unet"))
     if (lab is None or not getattr(cfg, "train_s2d_tail", False)
             or not getattr(cfg, "train_s2d_loss", False)

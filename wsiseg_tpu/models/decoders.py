@@ -214,7 +214,7 @@ class _S2dLinknetTailBlock(nn.Module):
                          **common)(x)
             x = nn.relu(gbn(self.out_channels, 4, name="bn3")(x)
                         ).astype(self.dtype)
-        else:
+        elif self.kind == "s2d4":
             x = _S2dConv(mid, self.in_channels, "diag4", name="conv1",
                          **common)(x)
             x = nn.relu(gbn(mid, 4, name="bn1")(x)).astype(self.dtype)
@@ -224,6 +224,8 @@ class _S2dLinknetTailBlock(nn.Module):
                          **common)(x)
             x = nn.relu(gbn(self.out_channels, 16, name="bn3")(x)
                         ).astype(self.dtype)
+        else:
+            raise ValueError(f"unknown s2d tail kind {self.kind!r}")
         if skip_s2d is not None:
             x = x + skip_s2d.astype(x.dtype)
         return x
@@ -249,6 +251,11 @@ class LinknetDecoder(nn.Module):
     measured 253 p/s vs Unet's 367 at b32, scripts/exp_r4i.py). Param and
     stat trees are IDENTICAL to the native decoder, so checkpoints
     interoperate freely."""
+    # input dims must divide this for the train s2d tail to engage
+    # (emits_s2d: c1 at H/2 needs even dims); add_s2d_seg_labels gates
+    # host-side label packing on it — keep the two in sync HERE
+    S2D_LABEL_DIV = 4
+
     num_classes: int = 4
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32

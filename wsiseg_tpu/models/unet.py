@@ -210,6 +210,11 @@ class _S2dTailBlock(nn.Module):
 
 
 class UNetDecoder(nn.Module):
+    # input dims must divide this for the train s2d tail to engage (the
+    # emits_s2d c1/c2 conditions); data/patches.add_s2d_seg_labels gates
+    # host-side label packing on it — keep the two in sync HERE
+    S2D_LABEL_DIV = 8
+
     num_classes: int = 4
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
