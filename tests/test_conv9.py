@@ -107,3 +107,15 @@ def test_conv_chain_planar_out():
                                np.asarray(nhwc, np.float32
                                           ).transpose(2, 0, 1),
                                atol=1e-2, rtol=1e-2)
+
+
+def test_conv_chain_rejects_halo_deeper_than_block():
+    """The edges-mode bottom masking assumes halo depth L-1 <= br; a
+    deeper chain must fail loudly (advisor finding: silent border
+    corruption otherwise)."""
+    rng = np.random.RandomState(5)
+    x = _mk(rng, 32, 32, 8).astype(jnp.bfloat16)
+    layers = [(_mk(rng, 3, 3, 8, 8) * 0.2, None, None, True)
+              for _ in range(4)]
+    with pytest.raises(AssertionError, match="halo depth"):
+        conv_chain(x, layers, br=2, wc=16, interpret=True)
