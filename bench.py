@@ -54,8 +54,19 @@ def _synthetic_level2(width: int, height: int, seed: int = 0) -> np.ndarray:
     return img
 
 
-def main():
+def main(tiny: bool = False):
+    """Run the benchmark and print one JSON line.
+
+    tiny=True (or WSISEG_BENCH_TINY=1) shrinks the slide/tile geometry so a
+    CPU smoke test can drive the whole emission path — including every
+    round-trip through the warning/fallback branches — in seconds instead of
+    minutes. Guards against the round-3 failure where the JSON line was never
+    printed (a local ``import sys`` shadowed the module import and crashed
+    the host-load warning at the top of main).
+    """
     import jax
+
+    tiny = tiny or os.environ.get("WSISEG_BENCH_TINY") == "1"
 
     # host-contention guard: per-iteration dispatch syncs go through the
     # relay's RPC client, so a saturated host inflates every timing
@@ -91,14 +102,17 @@ def main():
     # bf16 BN math + batch 128: measured A/B on v5e (64→667, 128→980,
     # 256→746 grid p/s — the sweet spot balances MXU occupancy against
     # pad-to-batch waste on the 608-tile bench grid)
+    geom = ({"tile_h": 64, "tile_w": 64,
+             "tile_stride_h": 16, "tile_stride_w": 16} if tiny else {})
     cfg = default_config(
         compute_dtype="bfloat16" if on_tpu else "float32",
         norm_dtype="bfloat16" if on_tpu else "float32",
         infer_batch_size=128 if on_tpu else 4,
+        **geom,
     )
 
     # level-2 image sized like a mid-size Aperio case at level 2
-    level2 = _synthetic_level2(4096, 3072)
+    level2 = _synthetic_level2(256, 192) if tiny else _synthetic_level2(4096, 3072)
     slide = VirtualPyramidSlide({2: level2}, num_levels=3)
 
     model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
@@ -111,7 +125,6 @@ def main():
     try:
         fcn_dev = engine.device_throughput(plan, mode="fcn", iters=3)
     except Exception as e:
-        import sys
         print(f"fcn device_throughput failed: {e!r}", file=sys.stderr)
         fcn_dev = {"patches_per_sec": 0.0, "sec_per_slide": None}
     grid_dev = engine.device_throughput(plan, mode="grid",
@@ -125,9 +138,8 @@ def main():
     # 12 stages ~3.2 GB of packed inputs, comfortably inside 16 GB HBM.
     try:
         fcn_dev2 = engine.device_throughput(plan, mode="fcn", iters=3,
-                                            slides_in_flight=12)
+                                            slides_in_flight=2 if tiny else 12)
     except Exception as e:
-        import sys
         print(f"x2 device_throughput failed: {e!r}", file=sys.stderr)
         fcn_dev2 = {"patches_per_sec": 0.0, "sec_per_slide": None}
 
@@ -137,21 +149,19 @@ def main():
     try:
         raw_dev = engine.device_throughput(plan, mode="fcn_raw", iters=3)
     except Exception as e:
-        import sys
         print(f"raw device_throughput failed: {e!r}", file=sys.stderr)
         raw_dev = {"patches_per_sec": 0.0, "sec_per_slide": None}
 
     # measured relay upload floor for the e2e path: the raw level image
     # is the irreducible per-slide transfer
-    import time as _time
     import jax.numpy as jnp
     img_np = np.asarray(plan.slide.read_level(cfg.scan_level))
     up = jax.device_put(img_np)
     float(jnp.sum(up[:1, :1].astype(jnp.float32)))       # warm path
-    t0 = _time.time()
+    t0 = time.time()
     up = jax.device_put(img_np)
     float(jnp.sum(up[:1, :1].astype(jnp.float32)))
-    upload_sec = _time.time() - t0
+    upload_sec = time.time() - t0
     relay_mbps = img_np.nbytes / upload_sec / 1e6 if upload_sec > 0 else 0.0
 
     # MFU vs the LOGICAL model FLOPs of the dense forward (layout tricks
@@ -208,7 +218,6 @@ def main():
 
         pipe_sec = min(_pipe_once() for _ in range(2))  # see e2e note above
     except Exception as e:
-        import sys
         print(f"pipelined e2e failed: {e!r}", file=sys.stderr)
 
     # training-step throughput (the other hot path): hybrid three-head
@@ -254,12 +263,12 @@ def main():
             state_t, m = step_t(state_t, tbatch, rkey)   # compile + warm
             state_t, m = step_t(state_t, tbatch, rkey)
             float(m["loss"])
-            t0 = _time.time()
+            t0 = time.time()
             iters_t = 8
             for _ in range(iters_t):
                 state_t, m = step_t(state_t, tbatch, rkey)
             float(m["loss"])
-            dt_t = (_time.time() - t0) / iters_t
+            dt_t = (time.time() - t0) / iters_t
             train_ms = dt_t * 1e3
             train_pps = tb / dt_t
             step_tflop = 3.0 * dense_forward_flops(
@@ -267,7 +276,6 @@ def main():
             train_mfu = train_pps * step_tflop / peak
             del state_t, tbatch
         except Exception as e:
-            import sys
             print(f"train throughput failed: {e!r}", file=sys.stderr)
 
     value = max(fcn_dev["patches_per_sec"], fcn_dev2["patches_per_sec"],

@@ -117,5 +117,5 @@ def test_conv_chain_rejects_halo_deeper_than_block():
     x = _mk(rng, 32, 32, 8).astype(jnp.bfloat16)
     layers = [(_mk(rng, 3, 3, 8, 8) * 0.2, None, None, True)
               for _ in range(4)]
-    with pytest.raises(AssertionError, match="halo depth"):
+    with pytest.raises(ValueError, match="halo depth"):
         conv_chain(x, layers, br=2, wc=16, interpret=True)

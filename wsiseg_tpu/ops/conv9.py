@@ -391,7 +391,8 @@ def conv_chain(x: jnp.ndarray, layers, br: int = 8, wc: int = 512,
     # gated strips (grid rows ny-1, ny-2) — valid only while the halo
     # depth d = L-1 stays below br; fail loudly instead of silently
     # corrupting border rows for deeper chains
-    assert L - 1 <= br, f"conv_chain: halo depth {L - 1} > br={br}"
+    if L - 1 > br:
+        raise ValueError(f"conv_chain: halo depth {L - 1} > br={br}")
     ci0 = layers[0][0].shape[2]
     if cin > ci0:
         # caller passes a lane-padded input (e.g. a chain that emitted
