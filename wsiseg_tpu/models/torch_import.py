@@ -88,22 +88,37 @@ def convert_resnet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
 
 _DEC_RE = re.compile(
     r"^decoder\.blocks\.(\d+)\.conv(\d)\.([01])\.(.+)$")
+# FPN family: lateral 1×1 convs + per-pyramid segmentation blocks
+_FPN_LAT_RE = re.compile(r"^decoder\.lat(\d)\.(weight|bias)$")
+_FPN_SEG_RE = re.compile(r"^decoder\.seg(\d)\.conv(\d)\.([01])\.(.+)$")
+# PSPNet family: pooled-pyramid branches + fuse conv
+_PSP_RE = re.compile(r"^decoder\.psp(\d)\.([01])\.(.+)$")
+_PSP_FUSE_RE = re.compile(r"^decoder\.fuse\.([01])\.(.+)$")
 
 
 def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
-    """Convert a FULL reference-model state_dict (smp Unet + monkey-patched
+    """Convert a FULL reference-model state_dict (smp model + monkey-patched
     heads, the contents of a reference ``torch.save`` checkpoint,
-    train.py:111-118) into YNet variables.
+    train.py:111-118) into YNet variables — all four decoder families the
+    reference selects via ``eval('smp.'+args.model_name)`` (train.py:29,
+    myargs.py:9-10).
 
-    Naming handled:
+    Naming handled (``.0``/``.1`` = Sequential(conv, bn) indices):
       encoder.*                        → torchvision ResNet (see above)
       decoder.blocks.{i}.conv{k}.0.*   → decoder/block{i}/conv{k} (conv)
       decoder.blocks.{i}.conv{k}.1.*   → decoder/block{i}/bn{k} (BN)
+          (Unet k∈{1,2}; Linknet k∈{1,2,3} — same layout, same mapping)
+      decoder.lat{n}.*                 → decoder/lat{n} (FPN lateral 1×1)
+      decoder.seg{n}.conv{k}.{0,1}.*   → decoder/seg{n}_conv{k} / seg{n}_bn{k}
+      decoder.psp{b}.{0,1}.*           → decoder/psp{b}_conv / psp{b}_bn
+      decoder.fuse.{0,1}.*             → decoder/fuse_conv / fuse_bn
       segmentation_head.0.*            → decoder/seg_head
       classifier.fc.0.*                → classifier/fc
       regressor.fc.{0,2}.*             → regressor/fc{1,2}
     Unrecognized keys are skipped (the reference's own partial-load
-    semantics, resnets_shift.py:230-240).
+    semantics, resnets_shift.py:230-240). Grafting validates every mapped
+    leaf against the target model tree, so a family/arch mismatch between
+    checkpoint and config fails loudly (KeyError/ValueError).
     """
     enc = convert_resnet_state_dict(
         {k[len("encoder."):]: v for k, v in sd.items()
@@ -121,16 +136,50 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
         elif leaf == "running_var":
             _set(stats, module + ("var",), v)
 
+    def put_conv_bn(conv_path, bn_path, sub, leaf, v):
+        if sub == "0" and leaf == "weight":
+            _set(params, conv_path + ("kernel",), _conv_kernel(v))
+        elif sub == "0" and leaf == "bias":
+            _set(params, conv_path + ("bias",), v)
+        elif sub == "1":
+            put_bn(bn_path, leaf, v)
+
     for key, v in sd.items():
         m = _DEC_RE.match(key)
         if m is not None:
             i, k, sub, leaf = m.groups()
             block = ("decoder", f"block{i}")
-            if sub == "0" and leaf == "weight":
-                _set(params, block + (f"conv{k}", "kernel"), _conv_kernel(v))
-            elif sub == "1":
-                put_bn(block + (f"bn{k}",), leaf, v)
-        elif key == "segmentation_head.0.weight":
+            put_conv_bn(block + (f"conv{k}",), block + (f"bn{k}",), sub,
+                        leaf, v)
+            continue
+        m = _FPN_SEG_RE.match(key)
+        if m is not None:
+            n, k, sub, leaf = m.groups()
+            put_conv_bn(("decoder", f"seg{n}_conv{k}"),
+                        ("decoder", f"seg{n}_bn{k}"), sub, leaf, v)
+            continue
+        m = _FPN_LAT_RE.match(key)
+        if m is not None:
+            n, leaf = m.groups()
+            if leaf == "weight":
+                _set(params, ("decoder", f"lat{n}", "kernel"),
+                     _conv_kernel(v))
+            else:
+                _set(params, ("decoder", f"lat{n}", "bias"), v)
+            continue
+        m = _PSP_RE.match(key)
+        if m is not None:
+            b, sub, leaf = m.groups()
+            put_conv_bn(("decoder", f"psp{b}_conv"),
+                        ("decoder", f"psp{b}_bn"), sub, leaf, v)
+            continue
+        m = _PSP_FUSE_RE.match(key)
+        if m is not None:
+            sub, leaf = m.groups()
+            put_conv_bn(("decoder", "fuse_conv"), ("decoder", "fuse_bn"),
+                        sub, leaf, v)
+            continue
+        if key == "segmentation_head.0.weight":
             _set(params, ("decoder", "seg_head", "kernel"), _conv_kernel(v))
         elif key == "segmentation_head.0.bias":
             _set(params, ("decoder", "seg_head", "bias"), v)

@@ -219,10 +219,17 @@ def open_slide(path: str) -> SlideReader:
     """Open a slide file by extension.
 
     ``.svs``/``.tif``/``.tiff`` route to the first-party native reader
-    (wsiseg_tpu.slides.native); ``.npy`` loads an array slide; anything else
-    is decoded with PIL as a single-level slide.
+    (wsiseg_tpu.slides.native) — except Aperio JPEG2000 files (TIFF
+    compression 33003/33005, undecodable by libtiff), which route to the
+    pure-Python OpenJPEG reader (wsiseg_tpu.slides.j2k; convert once with
+    cli/convert_slide for the fast path). ``.npy`` loads an array slide;
+    anything else is decoded with PIL as a single-level slide.
     """
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".svs", ".tif", ".tiff"):
+        from wsiseg_tpu.slides.j2k import J2KTiledSlide, is_aperio_j2k
+        if is_aperio_j2k(path):
+            return J2KTiledSlide(path)
     if ext in (".svs", ".tif", ".tiff", ".wsiraw"):
         from wsiseg_tpu.slides.native import NativeSlide
         return NativeSlide(path)
