@@ -108,16 +108,15 @@ def main():
             blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
             cup = xx.shape[-1]
             w1 = blk_p["conv1"]["kernel"]
-            k1 = jnp.concatenate([fd.upfold_kernel(w1[:, :, :cup]),
-                                  fd.s2d_kernel(w1[:, :, cup:])],
-                                 axis=2).astype(bf)
             s1, t1 = fd._bn_affine(blk_p["bn1"], blk_b["bn1"])
             k2 = fd.s2d_kernel(blk_p["conv2"]["kernel"]).astype(bf)
             s2, t2 = fd._bn_affine(blk_p["bn2"], blk_b["bn2"])
             sk = c1s2d.astype(bf) if i == 3 \
                 else fd.space_to_depth(skips[i].astype(bf))
-            xin = jnp.concatenate([xx, sk], axis=-1)
-            y = fd._conv(xin, k1)
+            # no-concat conv1 (exp_r6a): two summed convs, mirrors
+            # decode_cells post round-4
+            y = fd._conv(xx, fd.upfold_kernel(w1[:, :, :cup]).astype(bf)) \
+                + fd._conv(sk, fd.s2d_kernel(w1[:, :, cup:]).astype(bf))
             xs = jax.nn.relu(y * fd._tile4(s1) + fd._tile4(t1)).astype(bf)
             y = fd._conv(xs, k2)
             xs = jax.nn.relu(y * fd._tile4(s2) + fd._tile4(t2)).astype(bf)

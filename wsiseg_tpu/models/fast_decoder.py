@@ -329,14 +329,17 @@ def decode_cells(variables, feats, dtype, s2d_head: bool = False,
 
     # blocks 2, 3: s2d(2) cells of each block's native resolution; the 2×
     # upsample folds into conv1 (upfold) and the skip enters via its s2d
-    # kernel on the space_to_depth'd skip
+    # kernel on the space_to_depth'd skip. conv1 runs as TWO summed convs
+    # (up-path + skip-path) instead of one conv over a channel concat: at
+    # slide scale the concat materializes ~0.5 GB for block3 and the adds
+    # fuse into the conv epilogue — measured v5e 3072×4096 in-graph
+    # 44.4 → 41.2 ms on the stem+enc+b01+b23 truncation (scripts/
+    # exp_r6a.py; full fwd 54.3 → ~51). NOTE: the native blocks 0-1 concat
+    # measured the OPPOSITE (split 3% slower) — cell domain only.
     for i in (2, 3):
         blk_p, blk_b = dp[f"block{i}"], db[f"block{i}"]
         cup = xx.shape[-1]
         w1 = blk_p["conv1"]["kernel"]
-        k1 = jnp.concatenate([upfold_kernel(w1[:, :, :cup]),
-                              s2d_kernel(w1[:, :, cup:])],
-                             axis=2).astype(dtype)
         s1, t1 = _bn_affine(blk_p["bn1"], blk_b["bn1"])
         k2 = s2d_kernel(blk_p["conv2"]["kernel"]).astype(dtype)
         s2, t2 = _bn_affine(blk_p["bn2"], blk_b["bn2"])
@@ -344,8 +347,8 @@ def decode_cells(variables, feats, dtype, s2d_head: bool = False,
             sk = skip3_s2d.astype(dtype)
         else:
             sk = space_to_depth(skips[i].astype(dtype))
-        xin = jnp.concatenate([xx, sk], axis=-1)
-        y = _conv(xin, k1)
+        y = _conv(xx, upfold_kernel(w1[:, :, :cup]).astype(dtype)) \
+            + _conv(sk, s2d_kernel(w1[:, :, cup:]).astype(dtype))
         xs = jax.nn.relu(y * _tile4(s1) + _tile4(t1)).astype(dtype)
         y = _conv(xs, k2)
         xs = jax.nn.relu(y * _tile4(s2) + _tile4(t2)).astype(dtype)
