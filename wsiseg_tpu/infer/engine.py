@@ -524,12 +524,17 @@ class DenseInferenceEngine:
         per slide (minimal halo waste) while bucketing padded shapes so a
         multi-slide eval compiles at most a handful of graph variants
         (chunk_h/chunk_w are static jit args). An int applies square
-        chunks of that size."""
+        chunks of that size; a (chunk_h, chunk_w) tuple applies
+        rectangular chunks (the row-striped sharded path uses full-width
+        stripes and tests equality against this oracle)."""
         if chunk is None:
             ch = max(512, -(-h // 512) * 512)
             cw = max(512, -(-w // 512) * 512)
             return ch, cw, 1, 1
-        ch = cw = int(chunk)
+        if isinstance(chunk, tuple):
+            ch, cw = int(chunk[0]), int(chunk[1])
+        else:
+            ch = cw = int(chunk)
         return ch, cw, -(-h // ch), -(-w // cw)
 
     def _postprocess(self, canvas, mask_u8, *, out_hw: Optional[Tuple[int, int]] = None):
@@ -1239,6 +1244,83 @@ class DenseInferenceEngine:
         def wrapped(variables, img, ys_d, xs_d, val_d):
             out = run(variables, img, ys_d, xs_d, val_d)
             return out[:hs]                  # drop stripe padding rows
+
+        fn = jax.jit(wrapped)
+        self._sharded_cache[key] = fn
+        return fn
+
+    def predict_slide_fcn_sharded_rows(self, plan: SlidePlan, mesh,
+                                       axis: str = "data", halo: int = 128,
+                                       keep_canvas: bool = False,
+                                       keep_probs: bool = False
+                                       ) -> SlideResult:
+        """FCN dense inference with ROW-STRIPED input AND canvas — the
+        fast FCN path composed with stripe sharding (round-3 VERDICT next
+        #6): a level-1 scan too big for one chip's HBM still gets FCN
+        speed on a pod.
+
+        Each device receives only its halo-padded horizontal input stripe
+        (host-built; inputs sharded on the stripe axis, so per-device
+        input + activation memory drops by ``n_dev``) and computes its
+        stripe of the logit canvas with the SAME flax forward the chunked
+        FCN path uses. Geometry and 255-padding mirror
+        :meth:`predict_slide_fcn` with rectangular ``chunk=(ch, cw)``
+        (ny = n_dev, nx = 1), so labels match that single-device oracle
+        EXACTLY (tests/test_sharded_inference.py). Reference workload:
+        dense eval at scan_level < 2 (utils/eval.py:182-215).
+
+        The canvas stays row-sharded through the jit (out_specs stripes);
+        only the postprocessed artifacts are gathered.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = self.cfg
+        t0 = time.time()
+        n_dev = mesh.shape[axis]
+        img = np.asarray(plan.slide.read_level(cfg.scan_level))
+        h, w = img.shape[:2]
+        hs, ws = plan.stitch_hw
+        # stripe height: cover h in n_dev stripes, 32-aligned (clean
+        # pyramid dims at every stage); width = one full-width chunk
+        per = -(-h // n_dev)
+        ch = max(32, -(-per // 32) * 32)
+        cw = max(512, -(-w // 512) * 512)
+        img_pad = np.pad(
+            img, ((halo, halo + n_dev * ch - h),
+                  (halo, halo + cw - w), (0, 0)), constant_values=255)
+        # stacked halo stripes: device d owns output rows [d·ch, (d+1)·ch)
+        stripes = np.stack([img_pad[d * ch:(d + 1) * ch + 2 * halo,
+                                    :cw + 2 * halo] for d in range(n_dev)])
+        stripes_d = jax.device_put(stripes, NamedSharding(mesh, P(axis)))
+        variables_r = jax.device_put(self.variables,
+                                     NamedSharding(mesh, P()))
+        run = self._sharded_fcn_rows_run(mesh, axis, ch, cw, halo)
+        canvas = run(variables_r, stripes_d)[:hs, :ws]
+        return self._finish(plan, canvas, len(plan.grid), t0,
+                            keep_canvas, keep_probs)
+
+    def _sharded_fcn_rows_run(self, mesh, axis: str, ch: int, cw: int,
+                              halo: int) -> Callable:
+        """Compiled row-striped FCN pass, memoized on geometry."""
+        key = ("fcn_rows", self.mode, id(mesh), axis, ch, cw, halo)
+        if key in self._sharded_cache:
+            return self._sharded_cache[key]
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[axis]
+
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis)),
+                 out_specs=P(axis, None, None), check_vma=False)
+        def run(variables, stripes):
+            x = self._normalize(stripes)          # (1, ch+2halo, cw+2halo, 3)
+            seg = self._segment(variables, x)[0]
+            return seg[halo:halo + ch, halo:halo + cw]
+
+        def wrapped(variables, stripes):
+            out = run(variables, stripes)         # (n·ch, cw, nc) sharded
+            return out
 
         fn = jax.jit(wrapped)
         self._sharded_cache[key] = fn

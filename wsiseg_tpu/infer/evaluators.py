@@ -64,12 +64,18 @@ def _pipelined_results(engine: DenseInferenceEngine,
     decodes tile batches on the host (level-0/1 scans too big for an
     HBM-resident level image), combining with ``mesh`` into the
     streamed×row-sharded path."""
-    if mesh is not None and fcn:
-        raise ValueError("fcn and mesh (sharded) are mutually exclusive: "
-                         "sharded inference runs grid mode only")
     if streamed and fcn:
         raise ValueError("fcn and streamed are mutually exclusive")
     items = list(collection.items())
+    if mesh is not None and fcn:
+        # fast FCN composed with stripe sharding: each device computes one
+        # halo-padded row stripe of the canvas (engine
+        # .predict_slide_fcn_sharded_rows) — an oversize level-1 scan gets
+        # FCN speed on a pod (round-3 VERDICT next #6)
+        for name, plan in items:
+            yield name, plan, engine.predict_slide_fcn_sharded_rows(
+                plan, mesh)
+        return
     if streamed:
         for name, plan in items:
             res = (engine.predict_slide_streamed_sharded(plan, mesh)
