@@ -65,3 +65,16 @@ def test_norm_dtype_follows_compute_dtype():
     assert (c.replace(compute_dtype="float32", norm_dtype="bfloat16")
             .norm_dtype == "bfloat16")
     assert parse_args(["--norm_dtype", "float32"]).norm_dtype == "float32"
+
+
+def test_grad_accum_flag():
+    """--grad_accum wires microbatch accumulation into every trainer
+    (train/steps._make_grads_fn); batch_size must split evenly."""
+    import pytest
+
+    assert default_config().grad_accum == 1
+    assert parse_args(["--grad_accum", "2"]).grad_accum == 2
+    with pytest.raises(ValueError, match="divisible by"):
+        parse_args(["--grad_accum", "4", "--batch_size", "30"])
+    with pytest.raises(ValueError, match="grad_accum"):
+        default_config(grad_accum=0)

@@ -113,3 +113,97 @@ def test_hybrid_training_learns_and_checkpoints(store_dir, cfg):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
     assert int(restored.step) == int(state.step)
+
+
+def test_grad_accum_matches_manual_microbatches():
+    """grad_accum=2 equals an EXPLICIT two-microbatch accumulation (same
+    loss_fn, same rng folds, grads averaged, BN running stats chained,
+    one sgd update) — validates the scan plumbing exactly. Run in f64:
+    an untrained full-depth net has grads of magnitude ~650 whose f32
+    values are conditioning-chaotic — eager-vs-jit of the SAME microbatch
+    already differs ~10% relative at f32, while f64 agrees to ~1e-9
+    relative (the documented envelope, CLAUDE.md; probe /tmp/ga_repro64
+    measured max abs grad diff 1.2e-6 on |g|≈650). A full-batch
+    comparison is deliberately NOT asserted: BN statistics over 2 vs 4
+    samples are semantically different. Unlocks b192+ at 512²
+    (round-3 VERDICT next #7; scripts/exp_r6c.py)."""
+    import optax
+
+    from wsiseg_tpu import losses
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        tile = 32
+        f64 = jnp.float64
+        cfg = default_config(tile_w=tile, tile_h=tile,
+                             compute_dtype="float64", norm_dtype="float64",
+                             optim="sgd", lr=1e-2, train_s2d_tail=False,
+                             grad_accum=2)  # wired via config (--grad_accum)
+        model, variables = init_ynet(cfg, jax.random.PRNGKey(0))
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(f64) if x.dtype == jnp.float32 else x,
+            variables)
+        tx = optax.sgd(1e-2)
+        rng = np.random.RandomState(3)
+        b = 4
+        batch = {
+            "image": rng.randn(b, tile, tile, 3).astype(np.float64),
+            "seg_label": rng.randint(0, cfg.num_classes,
+                                     (b, tile, tile)).astype(np.int32),
+            "cls_label": np.array([1, -1, 2, -1], np.int32),
+            "reg_label": np.array([0.0, 0.7, 0.0, 0.2], np.float64),
+            "is_cls": np.array([1.0, 0.0, 1.0, 0.0], np.float64),
+            "is_reg": np.array([0.0, 1.0, 0.0, 1.0], np.float64),
+            "is_seg": np.array([0.0, 1.0, 0.0, 1.0], np.float64),
+        }
+
+        state = TrainState.create(variables, tx)
+        step_ga = jax.jit(make_hybrid_train_step(model, tx, cfg))
+        key = jax.random.PRNGKey(5)
+        s_ga, m_ga = step_ga(state, batch, key)
+
+        # manual reference: microbatch grads with the same folds, averaged
+        def loss_fn(params, stats, mb, k):
+            out, mut = model.apply({"params": params, "batch_stats": stats},
+                                   mb["image"], train=True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": k})
+            l = (losses.cross_entropy(out["cls"], mb["cls_label"],
+                                      ignore_index=-1,
+                                      sample_weight=mb["is_cls"])
+                 + losses.mse(out["reg"][:, 0], mb["reg_label"],
+                              sample_weight=mb["is_reg"])
+                 + losses.cross_entropy(out["seg"], mb["seg_label"],
+                                        sample_weight=mb["is_seg"]))
+            return l, mut["batch_stats"]
+
+        mbs = [{k2: v[:2] for k2, v in batch.items()},
+               {k2: v[2:] for k2, v in batch.items()}]
+        stats = state.batch_stats
+        gsum = None
+        ltot = 0.0
+        for k, mb in enumerate(mbs):
+            (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, stats, mb, jax.random.fold_in(key, k))
+            ltot += float(l)
+            gsum = g if gsum is None else jax.tree_util.tree_map(
+                jnp.add, gsum, g)
+        grads = jax.tree_util.tree_map(lambda x: x / 2, gsum)
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        params_ref = optax.apply_updates(state.params, updates)
+
+        # a few loss sub-reductions stay f32 (flax forces f32 BN stats)
+        # → loss agrees to ~1e-7 rel, not full f64
+        np.testing.assert_allclose(float(m_ga["loss"]), ltot / 2,
+                                   rtol=1e-6)
+        # lr 1e-2 × the measured 1.2e-6 f64 grad envelope → 1e-6 headroom
+        d = jax.tree_util.tree_map(
+            lambda a, b2: float(jnp.abs(a - b2).max()),
+            s_ga.params, params_ref)
+        assert max(jax.tree_util.tree_leaves(d)) < 1e-6
+        ds = jax.tree_util.tree_map(
+            lambda a, b2: float(jnp.abs(a - b2).max()),
+            s_ga.batch_stats, stats)
+        assert max(jax.tree_util.tree_leaves(ds)) < 1e-9
+    finally:
+        jax.config.update("jax_enable_x64", False)

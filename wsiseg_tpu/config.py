@@ -122,6 +122,13 @@ class Config:
     # space-to-depth'd host-side; exact same loss/grads, skips the full-res
     # f32 logit materialization — losses.cross_entropy_s2d).
     train_s2d_loss: bool = True
+    # Gradient accumulation: split each batch into this many microbatches
+    # and accumulate grads over a lax.scan before ONE optimizer update.
+    # Peak activation memory drops by the factor — unlocks batch sizes
+    # whose single-pass graph exceeds HBM (b192+ at 512²;
+    # scripts/exp_r6c.py). Exact mean-of-microbatch-grads semantics
+    # (tests/test_train_e2e.py::test_grad_accum_matches_manual_microbatches).
+    grad_accum: int = 1
     seed: int = 0
 
     def __post_init__(self) -> None:
@@ -150,6 +157,12 @@ class Config:
             raise ValueError("scan_level must be >= 0")
         if self.scan_resize < 1:
             raise ValueError("scan_resize must be >= 1")
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum must be >= 1")
+        if self.grad_accum > 1 and self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"batch_size ({self.batch_size}) must be divisible by "
+                f"grad_accum ({self.grad_accum})")
 
     def replace(self, **kw) -> "Config":
         # norm_dtype FOLLOWS compute_dtype (the "" sentinel is resolved at

@@ -52,14 +52,77 @@ def _seg_xent(out, batch, class_weights, sample_weight):
                                 sample_weight=sample_weight)
 
 
+def _make_grads_fn(loss_fn: Callable, grad_accum: int) -> Callable:
+    """(params, batch_stats, batch, rng) -> (grads, aux) for any loss_fn
+    whose aux dict carries scalars + a ``batch_stats`` entry.
+
+    ``grad_accum > 1`` splits the batch into that many microbatches and
+    accumulates grads over a ``lax.scan`` before the caller's ONE optimizer
+    update — peak activation memory drops by the accumulation factor,
+    unlocking batch sizes whose single-pass graph exceeds HBM (b192+ at
+    512²; scripts/exp_r6c.py). BN batch statistics are computed per
+    microbatch (running stats chain through the scan) — the standard
+    accumulation semantics; grads are exactly the mean of microbatch grads
+    (f64 oracle: tests/test_train_e2e.py). Aux scalars (losses, acc) are
+    the mean of per-microbatch values; the dropout rng is folded per
+    microbatch."""
+
+    def grads_single(params, batch_stats, batch, rng):
+        return jax.grad(loss_fn, has_aux=True)(params, batch_stats,
+                                               batch, rng)
+
+    if grad_accum <= 1:
+        return grads_single
+
+    def grads_accum(params, batch_stats, batch, rng):
+        ga = grad_accum
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b % ga:
+            raise ValueError(
+                f"batch size {b} not divisible by grad_accum {ga}")
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((ga, x.shape[0] // ga) + x.shape[1:]),
+            batch)
+
+        def body(carry, xs):
+            stats, gacc, lacc = carry
+            mb, k = xs
+            g, aux = jax.grad(loss_fn, has_aux=True)(
+                params, stats, mb, jax.random.fold_in(rng, k))
+            stats = aux.pop("batch_stats")
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            lacc = jax.tree_util.tree_map(jnp.add, lacc, aux)
+            return (stats, gacc, lacc), None
+
+        # aux structure without running the model (trace-time only)
+        mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+        _, aux_shape = jax.eval_shape(
+            jax.grad(loss_fn, has_aux=True), params, batch_stats, mb0, rng)
+        aux_shape.pop("batch_stats")
+        zeros_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zeros_l = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
+        (stats, gsum, lsum), _ = jax.lax.scan(
+            body, (batch_stats, zeros_g, zeros_l),
+            (micro, jnp.arange(ga)))
+        grads = jax.tree_util.tree_map(lambda g: g / ga, gsum)
+        aux = jax.tree_util.tree_map(lambda v: v / ga, lsum)
+        aux["batch_stats"] = stats
+        return grads, aux
+
+    return grads_accum
+
+
 def make_hybrid_train_step(model, tx: optax.GradientTransformation,
                            cfg: Config,
                            cls_weights: Optional[jnp.ndarray] = None,
                            seg_weights: Optional[jnp.ndarray] = None,
-                           axis_name: str | None = None) -> Callable:
+                           axis_name: str | None = None,
+                           grad_accum: Optional[int] = None) -> Callable:
     """Three-head step: xent(cls) + mse(reg) + xent(seg), summed — the
     ``train_cellularity.py:86-108`` recipe (the consistent trainer per
-    SURVEY.md quirk list)."""
+    SURVEY.md quirk list). ``grad_accum`` defaults to ``cfg.grad_accum``
+    (the ``--grad_accum`` flag); see :func:`_make_grads_fn`."""
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mutated = model.apply(
@@ -77,9 +140,11 @@ def make_hybrid_train_step(model, tx: optax.GradientTransformation,
                "loss_seg": l_seg, "batch_stats": mutated["batch_stats"]}
         return total, aux
 
+    grads_fn = _make_grads_fn(
+        loss_fn, cfg.grad_accum if grad_accum is None else grad_accum)
+
     def step(state: TrainState, batch: Dict, rng) -> tuple[TrainState, Dict]:
-        grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
+        grads, aux = grads_fn(state.params, state.batch_stats, batch, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             aux = {k: (jax.lax.pmean(v, axis_name) if k != "batch_stats" else v)
@@ -97,7 +162,8 @@ def make_hybrid_train_step(model, tx: optax.GradientTransformation,
 def make_seg_train_step(model, tx: optax.GradientTransformation, cfg: Config,
                         class_weights: Optional[jnp.ndarray] = None,
                         with_dice: bool = False,
-                        axis_name: str | None = None) -> Callable:
+                        axis_name: str | None = None,
+                        grad_accum: Optional[int] = None) -> Callable:
     """Pure-segmentation step (train_ssr.py:41-60: selectable loss on the
     decoder output, optionally + dice)."""
     base = losses.loss_fn(
@@ -132,9 +198,11 @@ def make_seg_train_step(model, tx: optax.GradientTransformation, cfg: Config,
                                             class_weights=class_weights)
         return total, {"loss": total, "batch_stats": mutated["batch_stats"]}
 
+    grads_fn = _make_grads_fn(
+        loss_fn, cfg.grad_accum if grad_accum is None else grad_accum)
+
     def step(state, batch, rng):
-        grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
+        grads, aux = grads_fn(state.params, state.batch_stats, batch, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -150,8 +218,12 @@ def make_seg_train_step(model, tx: optax.GradientTransformation, cfg: Config,
 def make_cls_train_step(model, tx: optax.GradientTransformation, cfg: Config,
                         class_weights: Optional[jnp.ndarray] = None,
                         method=None,
-                        axis_name: str | None = None) -> Callable:
-    """Pure patch-classification step (train_p.py:55-80)."""
+                        axis_name: str | None = None,
+                        grad_accum: Optional[int] = None) -> Callable:
+    """Pure patch-classification step (train_p.py:55-80). Note: with
+    ``grad_accum > 1`` the reported ``acc`` is the mean of per-microbatch
+    accuracies (differs from whole-batch accuracy only when microbatch
+    mask counts differ)."""
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mutated = model.apply(
@@ -170,9 +242,11 @@ def make_cls_train_step(model, tx: optax.GradientTransformation, cfg: Config,
         return total, {"loss": total, "acc": acc,
                        "batch_stats": mutated["batch_stats"]}
 
+    grads_fn = _make_grads_fn(
+        loss_fn, cfg.grad_accum if grad_accum is None else grad_accum)
+
     def step(state, batch, rng):
-        grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
+        grads, aux = grads_fn(state.params, state.batch_stats, batch, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -187,7 +261,8 @@ def make_cls_train_step(model, tx: optax.GradientTransformation, cfg: Config,
 
 def make_hr_train_step(model, tx: optax.GradientTransformation, cfg: Config,
                        class_weights: Optional[jnp.ndarray] = None,
-                       axis_name: str | None = None) -> Callable:
+                       axis_name: str | None = None,
+                       grad_accum: Optional[int] = None) -> Callable:
     """Multi-patch region-ensemble step: loss on the ensemble logits
     (train_hr.py:58-68). batch: images (B, P, H, W, 3), label (B,)."""
 
@@ -203,9 +278,11 @@ def make_hr_train_step(model, tx: optax.GradientTransformation, cfg: Config,
         return total, {"loss": total, "acc": acc,
                        "batch_stats": mutated["batch_stats"]}
 
+    grads_fn = _make_grads_fn(
+        loss_fn, cfg.grad_accum if grad_accum is None else grad_accum)
+
     def step(state, batch, rng):
-        grads, aux = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
+        grads, aux = grads_fn(state.params, state.batch_stats, batch, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
