@@ -63,6 +63,18 @@ def test_j2k_read_region_level0_coords(j2k_svs):
     s.close()
 
 
+def test_j2k_read_region_negative_location_floors(j2k_svs):
+    """Negative out-of-bounds level-0 coords FLOOR to level coords
+    (OpenSlide convention), not truncate toward zero: location -8 at
+    downsample 4 is level coord -2 (two white-padded rows/cols), not 0."""
+    path, levels = j2k_svs
+    s = J2KTiledSlide(path)
+    r = s.read_region((-8, -8), 1, (12, 10))
+    assert (r[:2, :] == 255).all() and (r[:, :2] == 255).all()
+    np.testing.assert_array_equal(r[2:, 2:], levels[1][:8, :10])
+    s.close()
+
+
 def test_j2k_read_tiles_batched(j2k_svs):
     path, levels = j2k_svs
     s = J2KTiledSlide(path)
@@ -121,6 +133,20 @@ def test_convert_to_wsiraw_fast_path(j2k_svs, tmp_path):
     tiles = s.read_tiles([16, 128], [8, 64], 0, 32, 32)
     np.testing.assert_array_equal(tiles[0], levels[0][8:40, 16:48])
     s.close()
+
+
+def test_convert_to_wsiraw_streams_bands(j2k_svs, tmp_path):
+    """Bounded-memory ingest: a tiny max_band_bytes forces many
+    horizontal decode bands per level; the output file must be
+    byte-identical to the single-band conversion (and to the C++
+    writer's format)."""
+    path, _levels = j2k_svs
+    whole = str(tmp_path / "whole.wsiraw")
+    banded = str(tmp_path / "banded.wsiraw")
+    convert_to_wsiraw(path, whole)
+    convert_to_wsiraw(path, banded, max_band_bytes=300 * 3 * 16)  # 16 rows
+    with open(whole, "rb") as a, open(banded, "rb") as b:
+        assert a.read() == b.read()
 
 
 def test_convert_slide_cli(j2k_svs, tmp_path):

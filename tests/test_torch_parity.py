@@ -585,6 +585,36 @@ def test_converter_rejects_shape_mismatch(torch_model):
         graft_encoder(dict(variables), converted, encoder_name="")
 
 
+def test_converter_rejects_unmapped_decoder_naming():
+    """A checkpoint whose decoder.* keys match NONE of the supported
+    layouts (e.g. a real smp FPN state_dict: decoder.p5.*,
+    decoder.seg_blocks.*) must raise, not silently leave the decoder
+    randomly initialized (round-4 review finding)."""
+    from wsiseg_tpu.models.torch_import import convert_ynet_state_dict
+    sd = {
+        "encoder.conv1.weight": np.zeros((64, 3, 7, 7), np.float32),
+        "decoder.p5.weight": np.zeros((128, 512, 1, 1), np.float32),
+        "decoder.seg_blocks.0.block.0.weight":
+            np.zeros((128, 128, 3, 3), np.float32),
+    }
+    with pytest.raises(ValueError, match="decoder"):
+        convert_ynet_state_dict(sd)
+
+
+def test_converter_warns_on_partial_decoder_match():
+    """Some decoder keys map, some don't → warn with the skipped keys
+    (partial-load stays available, but never silently)."""
+    from wsiseg_tpu.models.torch_import import convert_ynet_state_dict
+    sd = {
+        "decoder.blocks.0.conv1.0.weight":
+            np.zeros((256, 768, 3, 3), np.float32),
+        "decoder.mystery.weight": np.zeros((4, 4), np.float32),
+    }
+    with pytest.warns(UserWarning, match="mystery"):
+        out = convert_ynet_state_dict(sd)
+    assert "block0" in out["params"]["decoder"]
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint-graft parity across ALL FOUR decoder families × r18/r50
 # (round-3 VERDICT missing #2 / next #3: PSPNet + Linknet converters were

@@ -1318,12 +1318,8 @@ class DenseInferenceEngine:
             seg = self._segment(variables, x)[0]
             return seg[halo:halo + ch, halo:halo + cw]
 
-        def wrapped(variables, stripes):
-            out = run(variables, stripes)         # (n·ch, cw, nc) sharded
-            return out
-
-        fn = jax.jit(wrapped)
-        self._sharded_cache[key] = fn
+        fn = jax.jit(run)                         # (n·ch, cw, nc) sharded;
+        self._sharded_cache[key] = fn             # caller crops [:hs, :ws]
         return fn
 
     def device_throughput(self, plan: SlidePlan, mode: str = "grid",

@@ -115,10 +115,16 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
       segmentation_head.0.*            → decoder/seg_head
       classifier.fc.0.*                → classifier/fc
       regressor.fc.{0,2}.*             → regressor/fc{1,2}
-    Unrecognized keys are skipped (the reference's own partial-load
-    semantics, resnets_shift.py:230-240). Grafting validates every mapped
-    leaf against the target model tree, so a family/arch mismatch between
-    checkpoint and config fails loudly (KeyError/ValueError).
+    Unrecognized NON-decoder keys are skipped (the reference's own
+    partial-load semantics, resnets_shift.py:230-240). Decoder keys are
+    guarded: a checkpoint that carries ``decoder.*`` entries of which NONE
+    map (e.g. a real ``smp`` FPN/PSPNet/Linknet state_dict, whose internal
+    naming differs from the in-repo replicas — PARITY.md "deliberate
+    narrowings") raises ValueError instead of silently leaving the decoder
+    randomly initialized; a partial decoder match warns with the skipped
+    keys. Grafting additionally validates every mapped leaf against the
+    target model tree, so a family/arch mismatch between checkpoint and
+    config fails loudly (KeyError/ValueError).
     """
     enc = convert_resnet_state_dict(
         {k[len("encoder."):]: v for k, v in sd.items()
@@ -144,6 +150,7 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
         elif sub == "1":
             put_bn(bn_path, leaf, v)
 
+    dec_unmatched = []
     for key, v in sd.items():
         m = _DEC_RE.match(key)
         if m is not None:
@@ -179,6 +186,9 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
             put_conv_bn(("decoder", "fuse_conv"), ("decoder", "fuse_bn"),
                         sub, leaf, v)
             continue
+        if key.startswith("decoder."):
+            dec_unmatched.append(key)
+            continue
         if key == "segmentation_head.0.weight":
             _set(params, ("decoder", "seg_head", "kernel"), _conv_kernel(v))
         elif key == "segmentation_head.0.bias":
@@ -199,6 +209,21 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
         elif key == "regressor.fc.2.bias":
             _set(params, ("regressor", "fc2", "bias"), v)
 
+    if dec_unmatched:
+        mapped_dec = "decoder" in params or "decoder" in stats
+        if not mapped_dec:
+            raise ValueError(
+                "checkpoint carries decoder.* keys but NONE map to this "
+                "framework's decoder naming (likely a real smp state_dict "
+                "whose internal layout differs from the in-repo replicas — "
+                "see PARITY.md 'deliberate narrowings'); refusing to graft "
+                "a randomly-initialized decoder silently. First unmatched: "
+                f"{dec_unmatched[:5]}")
+        import warnings
+        warnings.warn(
+            f"convert_ynet_state_dict: {len(dec_unmatched)} decoder key(s) "
+            f"did not map and keep their random init, e.g. "
+            f"{dec_unmatched[:3]}", stacklevel=2)
     return {"params": params, "batch_stats": stats}
 
 

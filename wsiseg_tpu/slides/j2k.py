@@ -53,9 +53,14 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 8: "h", 9: "i"}
 
 
-def _read_ifds(f) -> List[Dict[int, List[int]]]:
+def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
     """Parse every IFD of a classic or BigTIFF file into {tag: [values]}
-    dicts (integer-typed tags only — all this reader needs)."""
+    dicts (integer-typed tags only — all this reader needs).
+
+    ``inline_only=True`` skips out-of-line value arrays (tile offsets /
+    byte counts — potentially millions of entries per level): the cheap
+    mode for sniffing single-valued tags like Compression, which TIFF
+    always stores inline."""
     header = f.read(8)
     if len(header) < 8 or header[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF file")
@@ -107,19 +112,23 @@ def _read_ifds(f) -> List[Dict[int, List[int]]]:
             (next_off,) = struct.unpack(bo + "Q", f.read(8))
         else:
             (next_off,) = struct.unpack(bo + "I", f.read(4))
-        for tag, typ, n, off in deferred:
-            f.seek(off)
-            data = f.read(_TYPE_SIZE[typ] * n)
-            tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * n, data))
+        if not inline_only:
+            for tag, typ, n, off in deferred:
+                f.seek(off)
+                data = f.read(_TYPE_SIZE[typ] * n)
+                tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * n,
+                                               data))
         ifds.append(tags)
     return ifds
 
 
 def sniff_tiff_compressions(path: str) -> Tuple[int, ...]:
-    """Compression tag of every IFD (cheap: header + IFD reads only)."""
+    """Compression tag of every IFD (cheap: header + IFD entry reads only;
+    out-of-line arrays like tile offsets are never touched — open_slide
+    runs this sniff on EVERY .svs/.tif open)."""
     try:
         with open(path, "rb") as f:
-            ifds = _read_ifds(f)
+            ifds = _read_ifds(f, inline_only=True)
     except (ValueError, OSError, struct.error):
         return ()
     return tuple(t.get(_TAG_COMPRESSION, [0])[0] for t in ifds)
@@ -188,6 +197,7 @@ class J2KTiledSlide:
         self._downsamples = tuple(w0 / w for (w, _h) in self._dims)
         self._cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._cache_cap = 64
+        self._cache_lock = threading.Lock()  # read_tiles decodes threaded
 
     # ---- SlideReader protocol ----
 
@@ -206,7 +216,8 @@ class J2KTiledSlide:
     def _decode_tile(self, level: int, idx: int) -> np.ndarray:
         """Decode tile ``idx`` of ``level`` to (th, tw, 3) RGB uint8."""
         key = (level, idx)
-        hit = self._cache.get(key)
+        with self._cache_lock:
+            hit = self._cache.get(key)
         if hit is not None:
             return hit
         tags = self._levels[level]
@@ -222,9 +233,10 @@ class J2KTiledSlide:
         arr = np.ascontiguousarray(arr[..., :3])
         if tags[_TAG_COMPRESSION][0] == APERIO_J2K_YCBCR:
             arr = _ycbcr_to_rgb(arr)
-        if len(self._cache) >= self._cache_cap:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[key] = arr
+        with self._cache_lock:
+            while len(self._cache) >= self._cache_cap:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = arr
         return arr
 
     def _read_at_level(self, level: int, x0: int, y0: int,
@@ -255,7 +267,10 @@ class J2KTiledSlide:
     def read_region(self, location: Tuple[int, int], level: int,
                     size: Tuple[int, int]) -> np.ndarray:
         ds = self._downsamples[level]
-        x0, y0 = int(location[0] / ds), int(location[1] / ds)
+        # floor (not truncate-toward-zero): OpenSlide's convention for
+        # negative out-of-bounds level-0 coordinates
+        x0 = int(np.floor(location[0] / ds))
+        y0 = int(np.floor(location[1] / ds))
         w, h = int(size[0]), int(size[1])
         return self._read_at_level(level, x0, y0, w, h)
 
@@ -383,16 +398,43 @@ def write_j2k_tiled_tiff(path: str, levels: Sequence[np.ndarray],
     return path
 
 
-def convert_to_wsiraw(src: str, dst: str) -> str:
+_RAW_MAGIC = 0x77736972617731  # kRawMagic in native/wsitile/wsitile.cc
+_RAW_MAX_LEVELS = 16
+
+
+def convert_to_wsiraw(src: str, dst: str,
+                      max_band_bytes: int = 256 << 20) -> str:
     """One-time ingest: decode every pyramid level of ``src`` (any
     supported reader, including J2K SVS) and write the ``.wsiraw`` mmap
-    pyramid the C++ fast path reads. Returns ``dst``."""
-    from wsiseg_tpu.slides.native import write_raw_pyramid
+    pyramid the C++ fast path reads. Returns ``dst``.
+
+    Streams each level in horizontal bands of at most ``max_band_bytes``
+    decoded pixels (via the reader's level-coordinate ``read_tiles``), so
+    peak memory is one band — a production 90k×60k level 0 (~16 GB RGB)
+    converts in ~256 MB of RAM instead of holding every level at once.
+    The format is written directly (RawHeader: magic + levels + dims[32],
+    then contiguous RGB planes — native/wsitile/wsitile.cc
+    ``wsitile_write_raw``), byte-identical to the C++ writer."""
     from wsiseg_tpu.slides.reader import open_slide
 
     slide = open_slide(src)
     try:
-        levels = [slide.read_level(k) for k in range(slide.level_count)]
+        n = slide.level_count
+        if not 1 <= n <= _RAW_MAX_LEVELS:
+            raise ValueError(f"{src!r}: {n} levels out of wsiraw range")
+        dims = list(slide.level_dimensions)
+        with open(dst, "wb") as f:
+            hdr = struct.pack(
+                "<Qq", _RAW_MAGIC, n) + struct.pack(
+                "<32q", *[v for (w, h) in dims for v in (w, h)]
+                + [0] * (2 * (_RAW_MAX_LEVELS - n)))
+            f.write(hdr)
+            for k, (w, h) in enumerate(dims):
+                band_h = max(1, min(h, max_band_bytes // max(1, w * 3)))
+                for y0 in range(0, h, band_h):
+                    bh = min(band_h, h - y0)
+                    band = slide.read_tiles([0], [y0], k, w, bh)[0]
+                    f.write(np.ascontiguousarray(band, np.uint8).tobytes())
     finally:
         slide.close()
-    return write_raw_pyramid(dst, levels)
+    return dst
