@@ -118,6 +118,48 @@ def test_open_slide_routes_j2k(j2k_svs, tmp_path):
     s2.close()
 
 
+def test_open_slide_mixed_compression_routes_native(tmp_path):
+    """A pyramid with SOME libtiff-decodable tiled levels and some J2K
+    must keep routing to NativeSlide (round-4 review finding): routing it
+    to J2KTiledSlide would make the whole file unopenable, whereas
+    NativeSlide reads the decodable levels and fails loudly only on a
+    J2K tile read — the pre-J2K behavior."""
+    rng = np.random.RandomState(3)
+    levels = _pyramid(rng)
+    path = str(tmp_path / "mixed.svs")
+    write_j2k_tiled_tiff(path, levels, tile_size=128,
+                         compression=[1, APERIO_J2K_RGB])
+    assert sniff_tiff_compressions(path) == (1, APERIO_J2K_RGB)
+    assert not is_aperio_j2k(path)
+    from wsiseg_tpu.slides.native import NativeSlide
+    s = open_slide(path)
+    assert isinstance(s, NativeSlide)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    with pytest.raises(OSError, match="undecodable|JPEG2000"):
+        s.read_region((0, 0), 1, (32, 32))
+    s.close()
+
+
+def test_convert_to_wsiraw_from_npy(tmp_path):
+    """convert_to_wsiraw accepts readers WITHOUT read_tiles (ArraySlide
+    for .npy/PIL inputs, as the CLI help advertises) via the SlideReader
+    read_region fallback (round-4 review finding)."""
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 255, (96, 130, 3), np.uint8)
+    src = str(tmp_path / "slide.npy")
+    np.save(src, arr)
+    dst = str(tmp_path / "slide.wsiraw")
+    convert_to_wsiraw(dst=dst, src=src, max_band_bytes=130 * 3 * 16)
+    from wsiseg_tpu.slides.native import NativeSlide
+    s = NativeSlide(dst)
+    np.testing.assert_array_equal(s.read_level(0), arr)
+    # downsampled levels come from ArraySlide's own pyramid
+    np.testing.assert_array_equal(
+        s.read_level(1), np.asarray(open_slide(src).read_region(
+            (0, 0), 1, s.level_dimensions[1])))
+    s.close()
+
+
 def test_convert_to_wsiraw_fast_path(j2k_svs, tmp_path):
     """J2K SVS → .wsiraw ingest: the C++ reader then serves identical
     pixels through its mmap fast path (reference capability: OpenSlide

@@ -129,8 +129,12 @@ def test_fcn_sharded_rows_matches_chunked_oracle(setup):
     engine = DenseInferenceEngine(model, variables, cfg)
     res_rows = engine.predict_slide_fcn_sharded_rows(
         plan, mesh, halo=16, keep_canvas=True)
-    # oracle: same stripes as sequential rectangular chunks on one device
-    res_chunk = engine.predict_slide_fcn(plan, chunk=(32, 512), halo=16,
+    # oracle: same stripes as sequential rectangular chunks on one device,
+    # geometry from the SAME helper the sharded path uses
+    lw, lh = plan.slide.level_dimensions[cfg.scan_level]
+    ch, cw = engine.fcn_stripe_geometry(lh, lw, mesh.shape["data"])
+    assert (ch, cw) == (32, 512)   # the uneven-stripe case this test pins
+    res_chunk = engine.predict_slide_fcn(plan, chunk=(ch, cw), halo=16,
                                          keep_canvas=True)
     np.testing.assert_allclose(res_rows.canvas, res_chunk.canvas,
                                atol=1e-5)

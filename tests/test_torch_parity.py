@@ -596,6 +596,12 @@ def test_converter_rejects_unmapped_decoder_naming():
         "decoder.p5.weight": np.zeros((128, 512, 1, 1), np.float32),
         "decoder.seg_blocks.0.block.0.weight":
             np.zeros((128, 128, 3, 3), np.float32),
+        # Real reference checkpoints ALWAYS carry segmentation_head.0.* —
+        # which maps into params["decoder"]["seg_head"]. The guard must
+        # still fire when zero decoder.* keys matched (round-4 review
+        # follow-up: a params-tree probe was masked by seg_head).
+        "segmentation_head.0.weight": np.zeros((4, 16, 3, 3), np.float32),
+        "segmentation_head.0.bias": np.zeros((4,), np.float32),
     }
     with pytest.raises(ValueError, match="decoder"):
         convert_ynet_state_dict(sd)

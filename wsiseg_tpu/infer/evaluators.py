@@ -71,10 +71,22 @@ def _pipelined_results(engine: DenseInferenceEngine,
         # fast FCN composed with stripe sharding: each device computes one
         # halo-padded row stripe of the canvas (engine
         # .predict_slide_fcn_sharded_rows) — an oversize level-1 scan gets
-        # FCN speed on a pod (round-3 VERDICT next #6)
-        for name, plan in items:
-            yield name, plan, engine.predict_slide_fcn_sharded_rows(
-                plan, mesh)
+        # FCN speed on a pod (round-3 VERDICT next #6). One-ahead staging:
+        # slide k+1's host stripe build + row-sharded upload overlaps
+        # slide k's compute, same pattern as the single-device fcn branch
+        # below (the e2e path is relay-transfer bound).
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            staged = (pool.submit(engine.stage_slide_fcn_rows,
+                                  items[0][1], mesh) if items else None)
+            for i, (name, plan) in enumerate(items):
+                nxt = (pool.submit(engine.stage_slide_fcn_rows,
+                                   items[i + 1][1], mesh)
+                       if i + 1 < len(items) else None)
+                res = engine.predict_slide_fcn_sharded_rows(
+                    plan, mesh, staged=staged.result())
+                staged = nxt
+                yield name, plan, res
         return
     if streamed:
         for name, plan in items:

@@ -151,6 +151,7 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
             put_bn(bn_path, leaf, v)
 
     dec_unmatched = []
+    dec_matched = 0
     for key, v in sd.items():
         m = _DEC_RE.match(key)
         if m is not None:
@@ -158,12 +159,14 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
             block = ("decoder", f"block{i}")
             put_conv_bn(block + (f"conv{k}",), block + (f"bn{k}",), sub,
                         leaf, v)
+            dec_matched += 1
             continue
         m = _FPN_SEG_RE.match(key)
         if m is not None:
             n, k, sub, leaf = m.groups()
             put_conv_bn(("decoder", f"seg{n}_conv{k}"),
                         ("decoder", f"seg{n}_bn{k}"), sub, leaf, v)
+            dec_matched += 1
             continue
         m = _FPN_LAT_RE.match(key)
         if m is not None:
@@ -173,18 +176,21 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
                      _conv_kernel(v))
             else:
                 _set(params, ("decoder", f"lat{n}", "bias"), v)
+            dec_matched += 1
             continue
         m = _PSP_RE.match(key)
         if m is not None:
             b, sub, leaf = m.groups()
             put_conv_bn(("decoder", f"psp{b}_conv"),
                         ("decoder", f"psp{b}_bn"), sub, leaf, v)
+            dec_matched += 1
             continue
         m = _PSP_FUSE_RE.match(key)
         if m is not None:
             sub, leaf = m.groups()
             put_conv_bn(("decoder", "fuse_conv"), ("decoder", "fuse_bn"),
                         sub, leaf, v)
+            dec_matched += 1
             continue
         if key.startswith("decoder."):
             dec_unmatched.append(key)
@@ -210,8 +216,10 @@ def convert_ynet_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, Dict]:
             _set(params, ("regressor", "fc2", "bias"), v)
 
     if dec_unmatched:
-        mapped_dec = "decoder" in params or "decoder" in stats
-        if not mapped_dec:
+        # Count only decoder.* regex hits — segmentation_head.0.* also lands
+        # under params["decoder"]["seg_head"], so probing the params tree
+        # would mask a checkpoint whose decoder.* keys ALL failed to map.
+        if dec_matched == 0:
             raise ValueError(
                 "checkpoint carries decoder.* keys but NONE map to this "
                 "framework's decoder naming (likely a real smp state_dict "

@@ -135,9 +135,29 @@ def sniff_tiff_compressions(path: str) -> Tuple[int, ...]:
 
 
 def is_aperio_j2k(path: str) -> bool:
-    """True when any directory uses Aperio JPEG2000 compression."""
-    return any(c in (APERIO_J2K_YCBCR, APERIO_J2K_RGB)
-               for c in sniff_tiff_compressions(path))
+    """True when the file's pyramid (tiled 3-sample directories) is
+    entirely Aperio-JPEG2000 compressed — the routing predicate for
+    :class:`J2KTiledSlide`.
+
+    Mixed files (some tiled RGB levels libtiff-decodable, some J2K) return
+    False so ``open_slide`` keeps routing them to NativeSlide, which reads
+    the decodable levels and fails loudly only on a J2K tile read — the
+    pre-J2K behavior. Routing them here instead would make the whole file
+    unopenable (J2KTiledSlide rejects non-J2K tiled dirs). Stripped
+    directories (Aperio label/macro) are ignored, as in J2KTiledSlide.
+    """
+    try:
+        with open(path, "rb") as f:
+            ifds = _read_ifds(f, inline_only=True)
+    except (ValueError, OSError, struct.error):
+        return False
+    pyramid = [t.get(_TAG_COMPRESSION, [1])[0] for t in ifds
+               # _TAG_TILE_W is a single inline value — a reliable
+               # tiledness probe in inline_only mode (tile offsets are
+               # out-of-line arrays and may be absent from the sniff)
+               if _TAG_TILE_W in t and t.get(_TAG_SAMPLES, [3])[0] == 3]
+    return bool(pyramid) and all(
+        c in (APERIO_J2K_YCBCR, APERIO_J2K_RGB) for c in pyramid)
 
 
 def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
@@ -313,14 +333,25 @@ class J2KTiledSlide:
 
 def write_j2k_tiled_tiff(path: str, levels: Sequence[np.ndarray],
                          tile_size: int = 128,
-                         compression: int = APERIO_J2K_RGB) -> str:
+                         compression=APERIO_J2K_RGB) -> str:
     """Write an Aperio-layout tiled TIFF whose tiles are LOSSLESS JPEG2000
     codestreams (compression 33005 RGB, or 33003 with YCbCr-transformed
     samples). Classic little-endian TIFF; hermetic test fixture for the
-    J2K ingest path — no real scanner output required."""
+    J2K ingest path — no real scanner output required.
+
+    ``compression`` may be a per-level sequence; value 1 writes that
+    level's tiles UNCOMPRESSED (libtiff-decodable) — used to synthesize
+    mixed-compression files for the open_slide routing tests."""
     from PIL import Image
 
-    def enc(tile: np.ndarray) -> bytes:
+    comps = (list(compression) if isinstance(compression, (list, tuple))
+             else [compression] * len(levels))
+    if len(comps) != len(levels):
+        raise ValueError("per-level compression list length mismatch")
+
+    def enc(tile: np.ndarray, comp: int) -> bytes:
+        if comp == 1:
+            return tile.tobytes()
         buf = io.BytesIO()
         Image.fromarray(tile).save(buf, "JPEG2000", no_jp2=True,
                                    irreversible=False)
@@ -329,7 +360,7 @@ def write_j2k_tiled_tiff(path: str, levels: Sequence[np.ndarray],
     out = io.BytesIO()
     out.write(struct.pack("<2sHI", b"II", 42, 0))  # IFD0 offset patched later
     ifd_off_pos = 4
-    for lv in levels:
+    for lv, compression in zip(levels, comps):
         lv = np.ascontiguousarray(lv, np.uint8)
         if compression == APERIO_J2K_YCBCR:
             lv_enc = _rgb_to_ycbcr(lv)
@@ -344,7 +375,7 @@ def write_j2k_tiled_tiff(path: str, levels: Sequence[np.ndarray],
                 tile = np.full((ts, ts, 3), 255, np.uint8)
                 block = lv_enc[iy * ts:iy * ts + ts, ix * ts:ix * ts + ts]
                 tile[:block.shape[0], :block.shape[1]] = block
-                data = enc(tile)
+                data = enc(tile, compression)
                 offsets.append(out.tell())
                 counts.append(len(data))
                 out.write(data)
@@ -429,11 +460,19 @@ def convert_to_wsiraw(src: str, dst: str,
                 "<32q", *[v for (w, h) in dims for v in (w, h)]
                 + [0] * (2 * (_RAW_MAX_LEVELS - n)))
             f.write(hdr)
+            read_tiles = getattr(slide, "read_tiles", None)
             for k, (w, h) in enumerate(dims):
+                ds = slide.level_downsamples[k]
                 band_h = max(1, min(h, max_band_bytes // max(1, w * 3)))
                 for y0 in range(0, h, band_h):
                     bh = min(band_h, h - y0)
-                    band = slide.read_tiles([0], [y0], k, w, bh)[0]
+                    if read_tiles is not None:
+                        band = read_tiles([0], [y0], k, w, bh)[0]
+                    else:
+                        # SlideReader protocol fallback (.npy/PIL inputs):
+                        # read_region takes LEVEL-0 coords, size in level-k
+                        band = slide.read_region((0, int(round(y0 * ds))),
+                                                 k, (w, bh))
                     f.write(np.ascontiguousarray(band, np.uint8).tobytes())
     finally:
         slide.close()
