@@ -53,6 +53,22 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 8: "h", 9: "i"}
 
 
+def _read_exact(f, n: int, what: str) -> bytes:
+    """Read exactly ``n`` bytes or raise a clean ValueError — malformed /
+    truncated slide files must never surface as bare struct.error."""
+    data = f.read(n)
+    if len(data) != n:
+        raise ValueError(f"truncated TIFF: short read of {what}")
+    return data
+
+
+# Sanity caps for untrusted input: no real slide has >4096 tags per IFD,
+# and the largest legitimate out-of-line arrays (tile offsets of a 100k²
+# level-0 at 240² tiles) are ~1.4 MB — 256 MB is far past any real file.
+_MAX_IFD_ENTRIES = 4096
+_MAX_TAG_ARRAY_BYTES = 256 << 20
+
+
 def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
     """Parse every IFD of a classic or BigTIFF file into {tag: [values]}
     dicts (integer-typed tags only — all this reader needs).
@@ -72,7 +88,7 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
     elif magic == 43:
         big = True
         f.seek(8)
-        next_off = struct.unpack(bo + "Q", f.read(8))[0]
+        next_off = struct.unpack(bo + "Q", _read_exact(f, 8, "BigTIFF IFD0 offset"))[0]
     else:
         raise ValueError(f"bad TIFF magic {magic}")
 
@@ -83,10 +99,12 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
         seen.add(next_off)
         f.seek(next_off)
         if big:
-            (count,) = struct.unpack(bo + "Q", f.read(8))
+            (count,) = struct.unpack(bo + "Q", _read_exact(f, 8, "IFD entry count"))
         else:
-            (count,) = struct.unpack(bo + "H", f.read(2))
-        raw = f.read(entry_size * count)
+            (count,) = struct.unpack(bo + "H", _read_exact(f, 2, "IFD entry count"))
+        if count > _MAX_IFD_ENTRIES:
+            raise ValueError(f"malformed TIFF: implausible IFD entry count {count}")
+        raw = _read_exact(f, entry_size * count, "IFD entry table")
         tags: Dict[int, List[int]] = {}
         deferred = []  # (tag, typ, n, offset) for out-of-line values
         for i in range(count):
@@ -109,13 +127,17 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
                 (off,) = struct.unpack(bo + off_fmt, val)
                 deferred.append((tag, typ, n, off))
         if big:
-            (next_off,) = struct.unpack(bo + "Q", f.read(8))
+            (next_off,) = struct.unpack(bo + "Q", _read_exact(f, 8, "next-IFD offset"))
         else:
-            (next_off,) = struct.unpack(bo + "I", f.read(4))
+            (next_off,) = struct.unpack(bo + "I", _read_exact(f, 4, "next-IFD offset"))
         if not inline_only:
             for tag, typ, n, off in deferred:
+                nbytes = _TYPE_SIZE[typ] * n
+                if nbytes > _MAX_TAG_ARRAY_BYTES:
+                    raise ValueError(
+                        f"malformed TIFF: tag {tag} claims {nbytes}-byte value array")
                 f.seek(off)
-                data = f.read(_TYPE_SIZE[typ] * n)
+                data = _read_exact(f, nbytes, f"tag {tag} value array")
                 tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * n,
                                                data))
         ifds.append(tags)
@@ -206,9 +228,12 @@ class J2KTiledSlide:
                 raise ValueError(
                     f"J2KTiledSlide: directory compression {comp} is not "
                     "Aperio JPEG2000 — open it with NativeSlide instead")
+            self._validate_level_tags(path, tags)
             levels.append(tags)
         if not levels:
             raise ValueError(f"{path!r}: no tiled J2K directories")
+        import os
+        self._fsize = os.fstat(self._f.fileno()).st_size
         levels.sort(key=lambda t: -t[_TAG_WIDTH][0])
         self._levels = levels
         self._dims = tuple((t[_TAG_WIDTH][0], t[_TAG_HEIGHT][0])
@@ -218,6 +243,29 @@ class J2KTiledSlide:
         self._cache: Dict[Tuple[int, int], np.ndarray] = {}
         self._cache_cap = 64
         self._cache_lock = threading.Lock()  # read_tiles decodes threaded
+
+    @staticmethod
+    def _validate_level_tags(path: str, tags: Dict[int, List[int]]) -> None:
+        """Reject structurally invalid tiled directories with a clean error
+        (this reader opens untrusted scanner output)."""
+        for tag, name in ((_TAG_WIDTH, "ImageWidth"), (_TAG_HEIGHT, "ImageLength"),
+                          (_TAG_TILE_W, "TileWidth"), (_TAG_TILE_H, "TileLength"),
+                          (_TAG_TILE_COUNTS, "TileByteCounts")):
+            if not tags.get(tag):
+                raise ValueError(f"{path!r}: tiled directory missing {name} tag")
+        w, h = tags[_TAG_WIDTH][0], tags[_TAG_HEIGHT][0]
+        tw, th = tags[_TAG_TILE_W][0], tags[_TAG_TILE_H][0]
+        if min(w, h, tw, th) <= 0:
+            raise ValueError(
+                f"{path!r}: non-positive image/tile dimensions "
+                f"({w}x{h}, tile {tw}x{th})")
+        n_tiles = ((w + tw - 1) // tw) * ((h + th - 1) // th)
+        if (len(tags[_TAG_TILE_OFFSETS]) < n_tiles
+                or len(tags[_TAG_TILE_COUNTS]) < n_tiles):
+            raise ValueError(
+                f"{path!r}: directory declares {n_tiles} tiles but carries "
+                f"{len(tags[_TAG_TILE_OFFSETS])} offsets / "
+                f"{len(tags[_TAG_TILE_COUNTS])} byte counts")
 
     # ---- SlideReader protocol ----
 
@@ -243,11 +291,20 @@ class J2KTiledSlide:
         tags = self._levels[level]
         off = tags[_TAG_TILE_OFFSETS][idx]
         cnt = tags[_TAG_TILE_COUNTS][idx]
+        if cnt <= 0 or off <= 0 or off + cnt > self._fsize:
+            raise ValueError(
+                f"{self.path!r}: level {level} tile {idx} extent is outside "
+                f"the file (offset {off}, {cnt} bytes, file {self._fsize})")
         with self._io_lock:
             self._f.seek(off)
             data = self._f.read(cnt)
         from PIL import Image
-        arr = np.asarray(Image.open(io.BytesIO(data)))
+        try:
+            arr = np.asarray(Image.open(io.BytesIO(data)))
+        except Exception as e:
+            raise ValueError(
+                f"{self.path!r}: level {level} tile {idx} codestream is "
+                f"undecodable: {e}") from e
         if arr.ndim == 2:
             arr = np.repeat(arr[..., None], 3, axis=-1)
         arr = np.ascontiguousarray(arr[..., :3])
