@@ -278,6 +278,98 @@ def main(tiny: bool = False):
         except Exception as e:
             print(f"train throughput failed: {e!r}", file=sys.stderr)
 
+    # train E2E: the device-resident number above is a fiction for epoch
+    # cost — a real epoch pushes ~370 MB/step (u8 images + i32 label maps
+    # + s2d view) through the 10-50 MB/s relay. Measure the host-fed path
+    # (prefetch thread overlaps H2D with compute, production Trainer
+    # semantics) and the device-resident epoch cache that removes it
+    # (train/device_cache.py: upload the u8 set once, gather on device).
+    train_e2e_pps = train_cached_pps = train_e2e_mb = cache_build_s = None
+    if on_tpu and train_pps:
+        try:
+            from wsiseg_tpu.data.patches import (normalize_batch_images,
+                                                 seg_labels_s2d)
+            from wsiseg_tpu.data.pipeline import prefetch_to_device
+            rng_e = np.random.RandomState(11)
+            hb = {
+                "image": rng_e.randint(0, 255, (tb, 512, 512, 3)
+                                       ).astype(np.uint8),
+                "seg_label": seg_lab,
+                "seg_label_s2d": seg_labels_s2d(seg_lab),
+                "cls_label": np.tile(np.array([1, -1], np.int32), tb // 2),
+                "reg_label": rng_e.rand(tb).astype(np.float32),
+                "is_cls": np.tile(np.array([1.0, 0.0], np.float32), tb // 2),
+                "is_reg": np.tile(np.array([0.0, 1.0], np.float32), tb // 2),
+                "is_seg": np.tile(np.array([0.0, 1.0], np.float32), tb // 2),
+            }
+            train_e2e_mb = sum(v.nbytes for v in hb.values()) / 1e6
+            pre = jax.jit(lambda b, r: dict(
+                b, image=normalize_batch_images(b["image"], cfg_t, r,
+                                                train=True)))
+            state_e = TrainState.create(vars_t, tx)
+            rkey_e = jax.random.PRNGKey(3)
+            # warm compiles (pre; step_t is already compiled) off the clock
+            dwarm = {k: jax.device_put(v) for k, v in hb.items()}
+            state_e, m = step_t(state_e, pre(dwarm, rkey_e), rkey_e)
+            float(m["loss"])
+            del dwarm
+            n_e2e = 3
+            t0 = time.time()
+            for batch in prefetch_to_device(
+                    (dict(hb) for _ in range(n_e2e)), depth=2):
+                rkey_e, sub, pp = jax.random.split(rkey_e, 3)
+                state_e, m = step_t(state_e, pre(batch, pp), sub)
+            float(m["loss"])
+            train_e2e_pps = tb * n_e2e / (time.time() - t0)
+            del state_e
+        except Exception as e:
+            print(f"train e2e failed: {e!r}", file=sys.stderr)
+        try:
+            from wsiseg_tpu.train.device_cache import (
+                DeviceEpochCache, make_cached_hybrid_train_step)
+            rng_c = np.random.RandomState(12)
+
+            def _cache_batches(n_rows, rows_per=64):
+                for _ in range(n_rows // rows_per):
+                    sl = rng_c.randint(0, cfg_t.num_classes,
+                                       (rows_per, 512, 512)).astype(np.int32)
+                    yield {
+                        "image": rng_c.randint(0, 255, (rows_per, 512, 512, 3)
+                                               ).astype(np.uint8),
+                        "seg_label": sl,
+                        "cls_label": np.tile(np.array([1, -1], np.int32),
+                                             rows_per // 2),
+                        "reg_label": rng_c.rand(rows_per).astype(np.float32),
+                        "is_cls": np.tile(np.array([1.0, 0.0], np.float32),
+                                          rows_per // 2),
+                        "is_reg": np.tile(np.array([0.0, 1.0], np.float32),
+                                          rows_per // 2),
+                        "is_seg": np.tile(np.array([0.0, 1.0], np.float32),
+                                          rows_per // 2),
+                    }
+
+            t0 = time.time()
+            cache = DeviceEpochCache.build(_cache_batches(256), cfg_t)
+            cache_build_s = time.time() - t0
+            cstep = jax.jit(make_cached_hybrid_train_step(model_t, tx, cfg_t),
+                            donate_argnums=0)
+            state_c = TrainState.create(vars_t, tx)
+            rkey_c = jax.random.PRNGKey(4)
+            idxs = [jax.device_put(ix) for ix in
+                    cache.index_batches(tb, seed=1, epoch=0)] * 4
+            state_c, m = cstep(state_c, cache.arrays, idxs[0], rkey_c)
+            state_c, m = cstep(state_c, cache.arrays, idxs[1], rkey_c)
+            float(m["loss"])
+            t0 = time.time()
+            for ix in idxs:
+                rkey_c, sub = jax.random.split(rkey_c)
+                state_c, m = cstep(state_c, cache.arrays, ix, sub)
+            float(m["loss"])
+            train_cached_pps = tb * len(idxs) / (time.time() - t0)
+            del state_c, cache
+        except Exception as e:
+            print(f"train cached-epoch failed: {e!r}", file=sys.stderr)
+
     value = max(fcn_dev["patches_per_sec"], fcn_dev2["patches_per_sec"],
                 raw_dev["patches_per_sec"], grid_dev["patches_per_sec"])
     print(json.dumps({
@@ -311,6 +403,14 @@ def main(tiny: bool = False):
         "train_patches_per_sec": round(train_pps, 1) if train_pps else None,
         "train_step_ms": round(train_ms, 1) if train_ms else None,
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_e2e_patches_per_sec":
+            round(train_e2e_pps, 1) if train_e2e_pps else None,
+        "train_e2e_mb_per_step":
+            round(train_e2e_mb, 1) if train_e2e_mb else None,
+        "train_cached_patches_per_sec":
+            round(train_cached_pps, 1) if train_cached_pps else None,
+        "train_cache_build_sec":
+            round(cache_build_s, 1) if cache_build_s else None,
         "train_batch": 128,
         "num_tiles": len(plan.grid),
         "tile": [cfg.tile_h, cfg.tile_w],

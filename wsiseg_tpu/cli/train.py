@@ -31,6 +31,31 @@ def train(cfg: Config) -> Trainer:
 
     ds = PatchDataset(cfg.train_image_pth, cfg)
 
+    preprocess = make_preprocess(cfg)
+    make_batches = lambda: ds.batches(drop_remainder=True)  # noqa: E731
+    if cfg.device_cache:
+        # upload the u8 training set ONCE; epochs then move only (B,) i32
+        # index arrays host→device (train/device_cache.py)
+        from wsiseg_tpu.train.device_cache import (
+            DeviceEpochCache, make_cached_hybrid_train_step)
+        if cfg.mesh:
+            raise ValueError("--device_cache is a single-device mode "
+                             "(the cache lives on one chip); drop --mesh")
+        epoch_cache = DeviceEpochCache.build(
+            ds.batches(drop_remainder=True), cfg,
+            max_bytes=int(cfg.device_cache_gb * 1e9), log=print)
+        cstep = jax.jit(make_cached_hybrid_train_step(
+            model, tx, cfg, cls_weights=jnp.asarray(wc),
+            seg_weights=jnp.asarray(ws)), donate_argnums=0)
+        step = lambda st, b, rng: cstep(st, epoch_cache.arrays, b["idx"], rng)  # noqa: E731
+        preprocess = None   # normalize+jitter run inside the cached step
+        ep_counter = iter(range(10 ** 9))
+
+        def make_batches():
+            ep = next(ep_counter)
+            return ({"idx": ix} for ix in epoch_cache.index_batches(
+                cfg.batch_size, seed=cfg.seed, epoch=ep))
+
     validate_fn = None
     if cfg.raw_val_pth:
         cache = {}
@@ -54,8 +79,8 @@ def train(cfg: Config) -> Trainer:
             return {"mean_tb_iou": res.get("_mean_tb_iou", float("nan"))}
 
     trainer = Trainer(cfg, state, step, mesh=make_train_mesh(cfg),
-                      make_batches=lambda: ds.batches(drop_remainder=True),
-                      preprocess_batch=make_preprocess(cfg),
+                      make_batches=make_batches,
+                      preprocess_batch=preprocess,
                       validate_fn=validate_fn)
     trainer.run(start_epoch=start_epoch)
     return trainer

@@ -129,6 +129,13 @@ class Config:
     # scripts/exp_r6c.py). Exact mean-of-microbatch-grads semantics
     # (tests/test_train_e2e.py::test_grad_accum_matches_manual_microbatches).
     grad_accum: int = 1
+    # Device-resident epoch cache: upload the u8 training set ONCE and
+    # gather/shuffle on device — steady-state epochs move only a (B,) i32
+    # index array over the host→device link instead of ~100 MB/step
+    # (train/device_cache.py; measured train_e2e_* vs train_cached_* bench
+    # keys). Caps at device_cache_gb of image bytes.
+    device_cache: bool = False
+    device_cache_gb: float = 4.0
     seed: int = 0
 
     def __post_init__(self) -> None:

@@ -141,7 +141,13 @@ def normalize_batch_images(image_u8, cfg: Config, rng=None, train: bool = False)
     import jax.numpy as jnp
     from wsiseg_tpu.ops.color import batch_color_jitter, normalize
 
-    img = image_u8.astype(jnp.float32) / 255.0
+    # f64 configs (the repo's exactness-oracle pattern) need f64
+    # preprocessing too: f32 ulp noise here amplifies to ~1% relative on
+    # isolated grad elements through an untrained full-depth net, burying
+    # the f64 oracle's 1e-9 envelope (tests/test_device_cache.py)
+    dt = (jnp.float64 if getattr(cfg, "compute_dtype", "") == "float64"
+          else jnp.float32)
+    img = image_u8.astype(dt) / 255.0
     if train and rng is not None:
         img = batch_color_jitter(img, rng)
     return normalize(img, cfg.dataset_mean, cfg.dataset_std)

@@ -110,7 +110,10 @@ class Trainer:
                 rng, sub, pp = jax.random.split(rng, 3)
                 if self.preprocess_batch is not None:
                     batch = self.preprocess_batch(batch, pp)
-                n_samples += int(batch["image"].shape[0])
+                # device-cached epochs feed {"idx"} batches (no "image");
+                # every batch kind has a shared leading sample axis
+                lead = batch.get("image", next(iter(batch.values())))
+                n_samples += int(lead.shape[0])
                 self.state, metrics = self.step_fn(self.state, batch, sub)
                 count += 1
                 for k, v in metrics.items():
