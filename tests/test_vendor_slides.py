@@ -1,0 +1,282 @@
+"""Hamamatsu NDPI + Philips TIFF vendor ingest (round-4 VERDICT missing #2).
+
+Synthetic vendor-layout files (hermetic fixture writers in
+wsiseg_tpu.slides.vendor) round-trip through the pure-Python readers,
+route automatically via open_slide's vendor sniff, convert to .wsiraw
+for the C++ fast path, and malformed variants fail with clean errors.
+Raw-compression fixtures assert exact pixels; JPEG fixtures assert
+uniform-region values within codec tolerance.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from wsiseg_tpu.slides.j2k import convert_to_wsiraw
+from wsiseg_tpu.slides.reader import open_slide
+from wsiseg_tpu.slides.vendor import (NDPISlide, PhilipsTiffSlide,
+                                      _split_jpeg_tables, sniff_vendor,
+                                      write_ndpi, write_philips_tiff)
+
+
+def _pyramid(rng, w=300, h=220):
+    lv0 = rng.randint(0, 255, (h, w, 3), np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    return [lv0, lv1]
+
+
+def _flat_pyramid(w=300, h=220):
+    """Uniform-color levels: JPEG decodes them within ±3 of the source."""
+    lv0 = np.full((h, w, 3), (90, 140, 200), np.uint8)
+    lv1 = lv0[::4, ::4].copy()
+    return [lv0, lv1]
+
+
+# ---------------------------------------------------------------------------
+# NDPI
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ndpi_raw(tmp_path_factory):
+    rng = np.random.RandomState(1)
+    levels = _pyramid(rng)
+    macro = rng.randint(0, 255, (60, 90, 3), np.uint8)
+    path = str(tmp_path_factory.mktemp("ndpi") / "case.ndpi")
+    write_ndpi(path, levels, compression="raw", rows_per_strip=64,
+               macro=macro)
+    return path, levels, macro
+
+
+def test_ndpi_sniff_and_route(ndpi_raw):
+    path, levels, _ = ndpi_raw
+    assert sniff_vendor(path) == "ndpi"
+    s = open_slide(path)
+    assert isinstance(s, NDPISlide)
+    s.close()
+
+
+def test_ndpi_raw_exact_roundtrip(ndpi_raw):
+    path, levels, macro = ndpi_raw
+    s = NDPISlide(path)
+    assert s.level_count == 2
+    assert s.level_dimensions == ((300, 220), (75, 55))
+    assert s.level_downsamples == (1.0, 4.0)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    np.testing.assert_array_equal(s.read_level(1), levels[1])
+    # strip-crossing region at level 0 (rows_per_strip=64)
+    np.testing.assert_array_equal(
+        s.read_region((40, 50), 0, (100, 80)),
+        levels[0][50:130, 40:140])
+    # level-1 region in level-0 coordinates
+    np.testing.assert_array_equal(
+        s.read_region((40, 40), 1, (20, 15)), levels[1][10:25, 10:30])
+    # out-of-bounds padding is white
+    r = s.read_region((-16, -16), 0, (32, 32))
+    assert (r[:16, :16] == 255).all()
+    np.testing.assert_array_equal(r[16:, 16:], levels[0][:16, :16])
+    # associated macro image
+    assert s.associated_names == ("macro",)
+    np.testing.assert_array_equal(s.associated_image("macro"), macro)
+    with pytest.raises(KeyError):
+        s.associated_image("map")
+    s.close()
+
+
+def test_ndpi_jpeg_single_strip(tmp_path):
+    levels = _flat_pyramid()
+    path = str(tmp_path / "flat.ndpi")
+    write_ndpi(path, levels, compression="jpeg")  # one strip per image
+    s = NDPISlide(path)
+    lv0 = s.read_level(0)
+    assert lv0.shape == (220, 300, 3)
+    assert np.abs(lv0.astype(int) - [90, 140, 200]).max() <= 3
+    tiles = s.read_tiles([0, 128], [0, 64], 0, 128, 64)
+    assert tiles.shape == (2, 64, 128, 3)
+    assert np.abs(tiles.astype(int) - [90, 140, 200]).max() <= 3
+    s.close()
+
+
+def test_ndpi_magnification_orders_pyramid(tmp_path):
+    """Levels written smallest-first still come out width-descending."""
+    rng = np.random.RandomState(2)
+    levels = _pyramid(rng)
+    path = str(tmp_path / "rev.ndpi")
+    write_ndpi(path, [levels[1], levels[0]], magnifications=[10.0, 40.0],
+               compression="raw")
+    s = NDPISlide(path)
+    assert s.level_dimensions == ((300, 220), (75, 55))
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    s.close()
+
+
+def test_ndpi_converts_to_wsiraw(ndpi_raw, tmp_path):
+    path, levels, _ = ndpi_raw
+    dst = str(tmp_path / "case.wsiraw")
+    convert_to_wsiraw(path, dst, max_band_bytes=64 * 300 * 3)
+    s = open_slide(dst)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    np.testing.assert_array_equal(s.read_level(1), levels[1])
+    s.close()
+
+
+def test_ndpi_malformed(tmp_path, ndpi_raw):
+    src, _, _ = ndpi_raw
+    data = open(src, "rb").read()
+    # truncated mid-strip-table
+    p = str(tmp_path / "trunc.ndpi")
+    open(p, "wb").write(data[:200])
+    with pytest.raises(ValueError):
+        NDPISlide(p)
+    # strip offset past EOF: NDPISlide validates lazily at decode
+    rng = np.random.RandomState(3)
+    p2 = str(tmp_path / "lyoff.ndpi")
+    write_ndpi(p2, _pyramid(rng), compression="raw", rows_per_strip=64)
+    blob = bytearray(open(p2, "rb").read())
+    # find the strip-offsets array is format-internal; instead truncate the
+    # file body so every out-of-header strip extent lies outside the file
+    open(p2, "wb").write(bytes(blob[:-4000]))
+    try:
+        s = NDPISlide(p2)
+    except ValueError:
+        return  # truncation hit the IFD walk — equally acceptable
+    with pytest.raises(ValueError, match="outside the file|truncated"):
+        s.read_level(0)
+    s.close()
+
+
+# ---------------------------------------------------------------------------
+# Philips TIFF
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def philips_raw(tmp_path_factory):
+    rng = np.random.RandomState(4)
+    levels = _pyramid(rng)
+    path = str(tmp_path_factory.mktemp("philips") / "case.tiff")
+    write_philips_tiff(path, levels, tile_size=128, compression="raw",
+                       sparse=[(0, 1, 1)])
+    return path, levels
+
+
+def test_philips_sniff_and_route(philips_raw):
+    path, _ = philips_raw
+    assert sniff_vendor(path) == "philips"
+    s = open_slide(path)
+    assert isinstance(s, PhilipsTiffSlide)
+    s.close()
+
+
+def test_philips_raw_roundtrip_with_sparse(philips_raw):
+    path, levels = philips_raw
+    s = PhilipsTiffSlide(path)
+    assert s.level_count == 2
+    assert s.level_dimensions == ((300, 220), (75, 55))
+    lv0 = s.read_level(0)
+    # sparse tile (iy=1, ix=1) reads white; everything else exact
+    expect = levels[0].copy()
+    expect[128:220, 128:256] = 255
+    np.testing.assert_array_equal(lv0, expect)
+    np.testing.assert_array_equal(s.read_level(1), levels[1])
+    # region crossing the sparse tile boundary
+    r = s.read_region((100, 100), 0, (60, 60))
+    np.testing.assert_array_equal(r, expect[100:160, 100:160])
+    s.close()
+
+
+def test_philips_jpeg_tables_roundtrip(tmp_path):
+    """Split-JPEGTables decode == plain per-tile-stream decode, exactly
+    (same tiles, same quality; only the segment packaging differs)."""
+    rng = np.random.RandomState(9)
+    levels = _pyramid(rng)
+    p_tab = str(tmp_path / "tables.tiff")
+    p_plain = str(tmp_path / "plain.tiff")
+    write_philips_tiff(p_tab, levels, tile_size=128, compression="jpeg",
+                       use_jpeg_tables=True)
+    write_philips_tiff(p_plain, levels, tile_size=128, compression="jpeg",
+                       use_jpeg_tables=False)
+    s_tab, s_plain = PhilipsTiffSlide(p_tab), PhilipsTiffSlide(p_plain)
+    for lv in range(2):
+        np.testing.assert_array_equal(s_tab.read_level(lv),
+                                      s_plain.read_level(lv))
+    # interior of a flat region still decodes to the source color
+    flat = str(tmp_path / "flat.tiff")
+    write_philips_tiff(flat, _flat_pyramid(), tile_size=128,
+                       compression="jpeg", use_jpeg_tables=True)
+    s_flat = PhilipsTiffSlide(flat)
+    r = s_flat.read_region((10, 10), 0, (100, 100))
+    assert np.abs(r.astype(int) - [90, 140, 200]).max() <= 3
+    for s in (s_tab, s_plain, s_flat):
+        s.close()
+
+
+def test_philips_deflate_roundtrip(tmp_path):
+    rng = np.random.RandomState(5)
+    levels = _pyramid(rng)
+    path = str(tmp_path / "deflate.tiff")
+    write_philips_tiff(path, levels, tile_size=128, compression="deflate")
+    s = PhilipsTiffSlide(path)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    tiles = s.read_tiles([0, 100], [0, 50], 0, 64, 64)
+    np.testing.assert_array_equal(tiles[1], levels[0][50:114, 100:164])
+    s.close()
+
+
+def test_philips_banded_convert(tmp_path):
+    rng = np.random.RandomState(6)
+    levels = _pyramid(rng)
+    path = str(tmp_path / "conv.tiff")
+    write_philips_tiff(path, levels, tile_size=128, compression="raw")
+    dst = str(tmp_path / "conv.wsiraw")
+    convert_to_wsiraw(path, dst, max_band_bytes=32 * 300 * 3)
+    s = open_slide(dst)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    s.close()
+
+
+def test_philips_malformed(tmp_path, philips_raw):
+    src, _ = philips_raw
+    data = open(src, "rb").read()
+    p = str(tmp_path / "trunc.tiff")
+    open(p, "wb").write(data[:150])
+    with pytest.raises(ValueError):
+        PhilipsTiffSlide(p)
+
+
+def test_split_jpeg_tables_is_lossless():
+    """tables+abbrev merge decodes identically to the original stream."""
+    import io
+    from PIL import Image
+    rng = np.random.RandomState(7)
+    tile = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(tile).save(buf, "JPEG", quality=90)
+    full = buf.getvalue()
+    tables, abbrev = _split_jpeg_tables(full)
+    merged = tables[:-2] + abbrev[2:]
+    a = np.asarray(Image.open(io.BytesIO(full)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(merged)).convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mirax_rejected_with_guidance(tmp_path):
+    p = str(tmp_path / "slide.mrxs")
+    open(p, "wb").write(b"\x00")
+    with pytest.raises(ValueError, match="convert"):
+        open_slide(p)
+
+
+def test_plain_tiff_still_routes_native(tmp_path):
+    """A plain tiled TIFF (no vendor markers) keeps the C++ fast path."""
+    from wsiseg_tpu.slides.native import NativeSlide, write_tiled_pyramid
+    rng = np.random.RandomState(8)
+    levels = _pyramid(rng)
+    path = str(tmp_path / "plain.tif")
+    write_tiled_pyramid(path, levels, tile_size=128)
+    assert sniff_vendor(path) is None
+    s = open_slide(path)
+    assert isinstance(s, NativeSlide)
+    np.testing.assert_array_equal(s.read_level(0), levels[0])
+    s.close()

@@ -50,7 +50,14 @@ _TAG_TILE_COUNTS = 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 13: 4}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 8: "h", 9: "i"}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q", 17: "q", 8: "h", 9: "i",
+             11: "f", 12: "d"}
+# Byte-valued tag types kept as raw bytes: 2 (ASCII — Software etc., read
+# by the vendor sniffs) and 7 (UNDEFINED — JPEGTables). Fetched even in
+# inline_only sniffs, but capped so a lying header can't make every
+# open_slide() stage megabytes.
+_TYPE_BYTES = (2, 7)
+_MAX_SNIFF_TEXT_BYTES = 64 << 10
 
 
 def _read_exact(f, n: int, what: str) -> bytes:
@@ -116,6 +123,17 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
             else:
                 (n,) = struct.unpack(bo + "I", e[4:8])
                 val = e[8:12]
+            if typ in _TYPE_BYTES:
+                # kept as one raw-bytes value (NUL trimmed by the
+                # consumer) — vendor sniffs read Software, tile decoders
+                # read JPEGTables
+                if n <= len(val):
+                    tags[tag] = [val[:n]]
+                else:
+                    off_fmt = "Q" if big else "I"
+                    (off,) = struct.unpack(bo + off_fmt, val)
+                    deferred.append((tag, typ, n, off))
+                continue
             if typ not in _TYPE_FMT:
                 continue
             nbytes = _TYPE_SIZE[typ] * n
@@ -130,16 +148,23 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
             (next_off,) = struct.unpack(bo + "Q", _read_exact(f, 8, "next-IFD offset"))
         else:
             (next_off,) = struct.unpack(bo + "I", _read_exact(f, 4, "next-IFD offset"))
-        if not inline_only:
-            for tag, typ, n, off in deferred:
-                nbytes = _TYPE_SIZE[typ] * n
-                if nbytes > _MAX_TAG_ARRAY_BYTES:
-                    raise ValueError(
-                        f"malformed TIFF: tag {tag} claims {nbytes}-byte value array")
+        for tag, typ, n, off in deferred:
+            if typ in _TYPE_BYTES:
+                if n > _MAX_SNIFF_TEXT_BYTES:
+                    continue  # lying/huge text tag — drop, never a level tag
                 f.seek(off)
-                data = _read_exact(f, nbytes, f"tag {tag} value array")
-                tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * n,
-                                               data))
+                tags[tag] = [_read_exact(f, n, f"tag {tag} text value")]
+                continue
+            if inline_only:
+                continue
+            nbytes = _TYPE_SIZE[typ] * n
+            if nbytes > _MAX_TAG_ARRAY_BYTES:
+                raise ValueError(
+                    f"malformed TIFF: tag {tag} claims {nbytes}-byte value array")
+            f.seek(off)
+            data = _read_exact(f, nbytes, f"tag {tag} value array")
+            tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * n,
+                                           data))
         ifds.append(tags)
     return ifds
 

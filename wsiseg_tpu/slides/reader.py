@@ -216,17 +216,35 @@ class VirtualPyramidSlide:
 
 
 def open_slide(path: str) -> SlideReader:
-    """Open a slide file by extension.
+    """Open a slide file by extension and vendor sniff.
 
     ``.svs``/``.tif``/``.tiff`` route to the first-party native reader
-    (wsiseg_tpu.slides.native) — except Aperio JPEG2000 files (TIFF
-    compression 33003/33005, undecodable by libtiff), which route to the
-    pure-Python OpenJPEG reader (wsiseg_tpu.slides.j2k; convert once with
-    cli/convert_slide for the fast path). ``.npy`` loads an array slide;
-    anything else is decoded with PIL as a single-level slide.
+    (wsiseg_tpu.slides.native) — except vendor dialects libtiff cannot
+    decode, which route to the pure-Python readers (convert once with
+    cli/convert_slide for the fast path): Aperio JPEG2000 (compression
+    33003/33005 → wsiseg_tpu.slides.j2k), Hamamatsu NDPI (marker tag
+    65420 or ``.ndpi`` → vendor.NDPISlide), Philips TIFF (Software tag →
+    vendor.PhilipsTiffSlide, sparse-tile + JPEGTables aware). ``.mrxs``
+    (MIRAX, multi-file) is rejected with conversion guidance. ``.npy``
+    loads an array slide; anything else is decoded with PIL as a
+    single-level slide. Capability twin of the reference's OpenSlide
+    open (reference utils/dataset.py:121).
     """
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".svs", ".tif", ".tiff"):
+    if ext == ".mrxs":
+        raise ValueError(
+            f"{path!r}: MIRAX is a multi-file format this stack does not "
+            "read natively — export/convert the slide to SVS, tiled TIFF "
+            "or .wsiraw first (cli/convert_slide handles any supported "
+            "input)")
+    if ext in (".svs", ".tif", ".tiff", ".ndpi"):
+        from wsiseg_tpu.slides.vendor import (NDPISlide, PhilipsTiffSlide,
+                                              sniff_vendor)
+        vendor = sniff_vendor(path)
+        if vendor == "ndpi" or ext == ".ndpi":
+            return NDPISlide(path)
+        if vendor == "philips":
+            return PhilipsTiffSlide(path)
         from wsiseg_tpu.slides.j2k import J2KTiledSlide, is_aperio_j2k
         if is_aperio_j2k(path):
             return J2KTiledSlide(path)
