@@ -306,11 +306,20 @@ def main(tiny: bool = False):
             pre = jax.jit(lambda b, r: dict(
                 b, image=normalize_batch_images(b["image"], cfg_t, r,
                                                 train=True)))
+            # FRESH jit for this input-producer pattern: step_t's
+            # executable was warmed on device_put f32 buffers; feeding it
+            # pre()'s jit-output buffers (same avals, different layouts)
+            # fails at RUNTIME over the axon relay with a bare
+            # INVALID_ARGUMENT and poisons later dispatches (CLAUDE.md
+            # round-5 trap). A separate jit compiles against the layouts
+            # it will actually receive.
+            step_e = jax.jit(make_hybrid_train_step(model_t, tx, cfg_t),
+                             donate_argnums=0)
             state_e = TrainState.create(vars_t, tx)
             rkey_e = jax.random.PRNGKey(3)
-            # warm compiles (pre; step_t is already compiled) off the clock
+            # warm compiles (pre + step_e) off the clock
             dwarm = {k: jax.device_put(v) for k, v in hb.items()}
-            state_e, m = step_t(state_e, pre(dwarm, rkey_e), rkey_e)
+            state_e, m = step_e(state_e, pre(dwarm, rkey_e), rkey_e)
             float(m["loss"])
             del dwarm
             n_e2e = 3
@@ -318,7 +327,7 @@ def main(tiny: bool = False):
             for batch in prefetch_to_device(
                     (dict(hb) for _ in range(n_e2e)), depth=2):
                 rkey_e, sub, pp = jax.random.split(rkey_e, 3)
-                state_e, m = step_t(state_e, pre(batch, pp), sub)
+                state_e, m = step_e(state_e, pre(batch, pp), sub)
             float(m["loss"])
             train_e2e_pps = tb * n_e2e / (time.time() - t0)
             del state_e

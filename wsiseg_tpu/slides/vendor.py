@@ -242,20 +242,24 @@ class NDPISlide:
 
         levels: List[Dict[int, list]] = []
         self._associated: Dict[str, Dict[int, list]] = {}
-        for tags in ifds:
-            if _TAG_STRIP_OFFSETS not in tags or _TAG_WIDTH not in tags:
-                continue
-            lens = tags.get(_TAG_NDPI_SOURCELENS, [1.0])[0]
-            if lens == -1:
-                self._associated["macro"] = tags
-                continue
-            if lens == -2:
-                self._associated["map"] = tags
-                continue
-            if lens <= 0 or tags.get(_TAG_SAMPLES, [3])[0] != 3:
-                continue
-            self._validate_striped(path, tags)
-            levels.append(tags)
+        try:
+            for tags in ifds:
+                if _TAG_STRIP_OFFSETS not in tags or _TAG_WIDTH not in tags:
+                    continue
+                lens = tags.get(_TAG_NDPI_SOURCELENS, [1.0])[0]
+                if lens == -1:
+                    self._associated["macro"] = tags
+                    continue
+                if lens == -2:
+                    self._associated["map"] = tags
+                    continue
+                if lens <= 0 or tags.get(_TAG_SAMPLES, [3])[0] != 3:
+                    continue
+                self._validate_striped(path, tags)
+                levels.append(tags)
+        except ValueError:
+            self._f.close()
+            raise
         if not levels:
             self._f.close()
             raise ValueError(f"{path!r}: no NDPI pyramid directories")
@@ -353,10 +357,10 @@ class NDPISlide:
         sh = min(rps, h - idx * rps)
         arr = self._decode_strip_raw(tags, idx, sh, w, f"level {level}")
         with self._cache_lock:
-            # evict oldest but always keep the newly decoded strip, so
-            # banded reads of a one-strip level decode it exactly once
+            # evict oldest-inserted but always keep the newly decoded
+            # strip, so banded reads of a one-strip level decode it once
             while self._cache and self._cache_bytes + arr.nbytes > self._cache_cap:
-                _, old = self._cache.popitem()
+                old = self._cache.pop(next(iter(self._cache)))
                 self._cache_bytes -= old.nbytes
             self._cache[key] = arr
             self._cache_bytes += arr.nbytes
@@ -449,13 +453,17 @@ class PhilipsTiffSlide:
             self._f.close()
             raise ValueError(f"{path!r}: malformed Philips TIFF: {e}") from e
         levels = []
-        for tags in ifds:
-            if _TAG_TILE_OFFSETS not in tags:
-                continue
-            if tags.get(_TAG_SAMPLES, [3])[0] != 3:
-                continue
-            self._validate_tiled(path, tags)
-            levels.append(tags)
+        try:
+            for tags in ifds:
+                if _TAG_TILE_OFFSETS not in tags:
+                    continue
+                if tags.get(_TAG_SAMPLES, [3])[0] != 3:
+                    continue
+                self._validate_tiled(path, tags)
+                levels.append(tags)
+        except ValueError:
+            self._f.close()
+            raise
         if not levels:
             self._f.close()
             raise ValueError(f"{path!r}: no tiled pyramid directories")
