@@ -236,6 +236,11 @@ def main(tiny: bool = False):
                                    norm_dtype="bfloat16", lr=1e-4)
             model_t, vars_t = init_ynet(cfg_t, jax.random.PRNGKey(0))
             tx = build_optimizer(cfg_t)
+            # donate_argnums=0 deletes the state's buffers — and the
+            # state's params ARE vars_t's buffers. Keep a device-side copy
+            # so the e2e / cached-epoch sections can build fresh states
+            # (feeding deleted arrays raises 'Array has been deleted').
+            vars_keep = jax.tree_util.tree_map(jnp.copy, vars_t)
             state_t = TrainState.create(vars_t, tx)
             step_t = jax.jit(make_hybrid_train_step(model_t, tx, cfg_t),
                              donate_argnums=0)
@@ -315,7 +320,8 @@ def main(tiny: bool = False):
             # it will actually receive.
             step_e = jax.jit(make_hybrid_train_step(model_t, tx, cfg_t),
                              donate_argnums=0)
-            state_e = TrainState.create(vars_t, tx)
+            state_e = TrainState.create(
+                jax.tree_util.tree_map(jnp.copy, vars_keep), tx)
             rkey_e = jax.random.PRNGKey(3)
             # warm compiles (pre + step_e) off the clock
             dwarm = {k: jax.device_put(v) for k, v in hb.items()}
@@ -362,7 +368,8 @@ def main(tiny: bool = False):
             cache_build_s = time.time() - t0
             cstep = jax.jit(make_cached_hybrid_train_step(model_t, tx, cfg_t),
                             donate_argnums=0)
-            state_c = TrainState.create(vars_t, tx)
+            state_c = TrainState.create(
+                jax.tree_util.tree_map(jnp.copy, vars_keep), tx)
             rkey_c = jax.random.PRNGKey(4)
             idxs = [jax.device_put(ix) for ix in
                     cache.index_batches(tb, seed=1, epoch=0)] * 4

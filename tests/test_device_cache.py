@@ -153,6 +153,9 @@ def test_max_bytes_cap(setup):
     one = batches[0]["image"].nbytes
     small = DeviceEpochCache.build(iter(batches), cfg, max_bytes=one + 1)
     assert small.n == B  # second batch would exceed the cap
+    # cap below even the first batch: clean error, not a KeyError
+    with pytest.raises(ValueError, match="no batches"):
+        DeviceEpochCache.build(iter(batches), cfg, max_bytes=one - 1)
 
 
 def test_cached_trainer_learns(setup):

@@ -77,9 +77,10 @@ class DeviceEpochCache:
                     "DeviceEpochCache wants uint8 host images (normalize "
                     f"runs on device, inside the step); got {img.dtype}")
             if max_bytes is not None and img_bytes + img.nbytes > max_bytes:
+                cached = sum(x.shape[0] for x in fields.get("image", []))
                 log(f"device cache capped at {max_bytes/1e9:.2f} GB — "
-                    f"caching {sum(x.shape[0] for x in fields['image'])} "
-                    "rows; the rest of the epoch must be host-fed")
+                    f"caching {cached} rows; the rest of the epoch must "
+                    "be host-fed")
                 break
             img_bytes += img.nbytes
             fields.setdefault("image", []).append(img)
