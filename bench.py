@@ -322,17 +322,23 @@ def main(tiny: bool = False):
                              donate_argnums=0)
             state_e = TrainState.create(
                 jax.tree_util.tree_map(jnp.copy, vars_keep), tx)
-            rkey_e = jax.random.PRNGKey(3)
+            # production rng discipline: host-derived raw keys shipped to
+            # the step — a host-loop jax.random.split costs ~140 ms/step
+            # of tiny-dispatch latency over the relay (scripts/exp_r8c.py,
+            # train/loop.host_step_keys). Warm and timed calls must use
+            # the SAME key kind or the loop recompiles mid-timing.
+            from wsiseg_tpu.train.loop import host_step_keys
+            wsub, wpp = host_step_keys(3, 0, 999)
             # warm compiles (pre + step_e) off the clock
             dwarm = {k: jax.device_put(v) for k, v in hb.items()}
-            state_e, m = step_e(state_e, pre(dwarm, rkey_e), rkey_e)
+            state_e, m = step_e(state_e, pre(dwarm, wpp), wsub)
             float(m["loss"])
             del dwarm
             n_e2e = 3
             t0 = time.time()
-            for batch in prefetch_to_device(
-                    (dict(hb) for _ in range(n_e2e)), depth=2):
-                rkey_e, sub, pp = jax.random.split(rkey_e, 3)
+            for i, batch in enumerate(prefetch_to_device(
+                    (dict(hb) for _ in range(n_e2e)), depth=2)):
+                sub, pp = host_step_keys(3, 0, i)
                 state_e, m = step_e(state_e, pre(batch, pp), sub)
             float(m["loss"])
             train_e2e_pps = tb * n_e2e / (time.time() - t0)
@@ -370,16 +376,16 @@ def main(tiny: bool = False):
                             donate_argnums=0)
             state_c = TrainState.create(
                 jax.tree_util.tree_map(jnp.copy, vars_keep), tx)
-            rkey_c = jax.random.PRNGKey(4)
+            from wsiseg_tpu.train.loop import host_step_keys
             idxs = [jax.device_put(ix) for ix in
                     cache.index_batches(tb, seed=1, epoch=0)] * 4
-            state_c, m = cstep(state_c, cache.arrays, idxs[0], rkey_c)
-            state_c, m = cstep(state_c, cache.arrays, idxs[1], rkey_c)
+            ckeys = [host_step_keys(4, 0, i)[0] for i in range(len(idxs))]
+            state_c, m = cstep(state_c, cache.arrays, idxs[0], ckeys[0])
+            state_c, m = cstep(state_c, cache.arrays, idxs[1], ckeys[1])
             float(m["loss"])
             t0 = time.time()
-            for ix in idxs:
-                rkey_c, sub = jax.random.split(rkey_c)
-                state_c, m = cstep(state_c, cache.arrays, ix, sub)
+            for ix, ck in zip(idxs, ckeys):
+                state_c, m = cstep(state_c, cache.arrays, ix, ck)
             float(m["loss"])
             train_cached_pps = tb * len(idxs) / (time.time() - t0)
             del state_c, cache

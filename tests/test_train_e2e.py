@@ -207,3 +207,21 @@ def test_grad_accum_matches_manual_microbatches():
         assert max(jax.tree_util.tree_leaves(ds)) < 1e-9
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_host_step_keys_deterministic_distinct():
+    """Host-derived per-step rng keys: deterministic per (seed, epoch,
+    step), distinct across steps/epochs/lanes, raw uint32[2] key data."""
+    from wsiseg_tpu.train.loop import host_step_keys
+    a1, p1 = host_step_keys(7, 2, 5)
+    a2, p2 = host_step_keys(7, 2, 5)
+    assert (a1 == a2).all() and (p1 == p2).all()
+    assert a1.dtype == np.uint32 and a1.shape == (2,)
+    assert tuple(a1) != tuple(p1)
+    seen = {tuple(host_step_keys(7, e, s)[0])
+            for e in range(4) for s in range(50)}
+    assert len(seen) == 200
+    # a raw key drives jax.random directly
+    import jax
+    assert float(jax.random.uniform(jnp.asarray(a1), ())) != float(
+        jax.random.uniform(jnp.asarray(p1), ()))

@@ -44,9 +44,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
-    """device_put every array in the batch with its leading dim sharded."""
+    """device_put every array in the batch with its leading dim sharded
+    (``rng*`` keys — (2,) u32 key data — are replicated instead)."""
     sh = batch_sharding(mesh, axis)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    rep = replicated(mesh)
+    return {k: jax.device_put(v, rep if k.startswith("rng") else sh)
+            for k, v in batch.items()}
 
 
 def replicate_tree(mesh: Mesh, tree):
@@ -81,9 +84,14 @@ def shard_batch_spatial(mesh: Mesh, batch: dict, data_axis: str = "data",
     The reference has no multi-device support at all (SURVEY.md §2.c)."""
     sp = NamedSharding(mesh, P(data_axis, space_axis))
     dp = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
     out = {}
     for k, v in batch.items():
-        if k in SPATIAL_KEYS and getattr(v, "ndim", 0) >= 3:
+        if k.startswith("rng"):
+            # (2,) u32 rng key data (train/loop.host_step_keys) —
+            # replicated, never sharded
+            out[k] = jax.device_put(v, rep)
+        elif k in SPATIAL_KEYS and getattr(v, "ndim", 0) >= 3:
             n_space = mesh.shape[space_axis]
             if v.shape[1] % n_space:
                 raise ValueError(

@@ -17,6 +17,43 @@ from wsiseg_tpu.config import Config
 from wsiseg_tpu.data.pipeline import prefetch_to_device
 from wsiseg_tpu.train.state import TrainState, save_checkpoint
 
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _splitmix64(x: int) -> int:
+    # Python ints: arbitrary precision, explicit masking (numpy uint64
+    # scalars warn on intentional wraparound)
+    z = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return (z ^ (z >> 31)) & _M64
+
+
+def host_step_keys(seed: int, epoch: int, step: int):
+    """Two independent threefry key datas (step rng, preprocess rng),
+    derived HOST-SIDE: numpy SplitMix64 over a (seed, epoch, step)
+    counter, returned as raw ``uint32[2]`` arrays — which every
+    jax.random op accepts as keys.
+
+    Why not ``jax.random.split`` in the train loop: each host-loop split
+    is ~4 tiny device dispatches (the (3,2) split + unpack slices), and
+    over this harness's axon relay tiny dispatches serialize at tens of
+    ms each — measured ~140 ms/step of pure rng overhead at b128
+    (scripts/exp_r8c.py probe step 312 ms vs the split-per-iter bench
+    loop 450 ms). Counter-derived keys ship WITH the batch through the
+    prefetch thread instead, so the hot loop issues zero rng dispatches.
+    Deterministic per (seed, epoch, step); the stream differs from the
+    pre-round-5 chained-split discipline (any fixed derivation is
+    equally valid)."""
+    base = (((seed & 0xFFFFFF) << 40)
+            ^ ((epoch & 0xFFFFF) << 20)
+            ^ (step & 0xFFFFF))
+    ks = []
+    for lane in (0, 1):
+        z = _splitmix64(base * 2 + lane)
+        ks.append(np.array([z >> 32, z & 0xFFFFFFFF], dtype=np.uint32))
+    return ks[0], ks[1]
+
 
 class Trainer:
     def __init__(self, cfg: Config, state: TrainState, step_fn: Callable,
@@ -57,12 +94,11 @@ class Trainer:
         start = start_epoch if start_epoch is not None else cfg.start_epoch
         end = start + (num_epochs if num_epochs is not None
                        else cfg.num_epoch - start + 1)
-        rng = jax.random.PRNGKey(cfg.seed)
-
         batch_sh = None
         if self.mesh is not None:
             from wsiseg_tpu.parallel.mesh import (batch_sharding,
                                                   replicate_tree,
+                                                  replicated,
                                                   shard_batch_spatial)
             if "space" in self.mesh.axis_names:
                 # hybrid data × SPATIAL parallel: images/label maps shard on
@@ -85,7 +121,12 @@ class Trainer:
                         f"global batch_size {cfg.batch_size} must divide "
                         f"evenly over {n_dev} mesh devices")
                 self.state = replicate_tree(self.mesh, self.state)
-                batch_sh = batch_sharding(self.mesh, self.mesh.axis_names[0])
+                dsh = batch_sharding(self.mesh, self.mesh.axis_names[0])
+                rep = replicated(self.mesh)
+                # rng keys are (2,) u32 leaves — replicate, never shard
+                batch_sh = lambda b: {  # noqa: E731
+                    k: jax.device_put(v, rep if k.startswith("rng") else dsh)
+                    for k, v in b.items()}
                 self.log(f"data-parallel training over {n_dev} devices "
                          f"({cfg.batch_size // n_dev} per device)")
 
@@ -102,12 +143,22 @@ class Trainer:
             # decoder tail + s2d-domain loss — the device transpose of the
             # same transform costs 85 ms/batch (data/patches.seg_labels_s2d)
             from wsiseg_tpu.data.patches import add_s2d_seg_labels
-            host_batches = (add_s2d_seg_labels(b, cfg)
-                            for b in self.make_batches())
-            for batch in prefetch_to_device(host_batches,
+
+            def host_batches(ep):
+                # per-step rng keys derived host-side and shipped with the
+                # batch (host_step_keys docstring: a host-loop
+                # jax.random.split costs ~140 ms/step over the relay)
+                for i, b in enumerate(self.make_batches()):
+                    b = add_s2d_seg_labels(b, cfg)
+                    b["rng_step"], b["rng_pp"] = host_step_keys(
+                        cfg.seed, ep, i)
+                    yield b
+
+            for batch in prefetch_to_device(host_batches(epoch),
                                             depth=cfg.prefetch_depth,
                                             device=batch_sh):
-                rng, sub, pp = jax.random.split(rng, 3)
+                sub = batch.pop("rng_step")
+                pp = batch.pop("rng_pp")
                 if self.preprocess_batch is not None:
                     batch = self.preprocess_batch(batch, pp)
                 # device-cached epochs feed {"idx"} batches (no "image");
