@@ -280,3 +280,77 @@ def test_plain_tiff_still_routes_native(tmp_path):
     assert isinstance(s, NativeSlide)
     np.testing.assert_array_equal(s.read_level(0), levels[0])
     s.close()
+
+
+def test_corrupt_text_tag_offset_does_not_abort_parse(tmp_path):
+    """A bogus out-of-line ASCII tag offset (tags the pre-vendor parser
+    ignored entirely) must drop the tag, not abort routing."""
+    rng = np.random.RandomState(10)
+    levels = _pyramid(rng)
+    p = str(tmp_path / "badsoft.tiff")
+    write_philips_tiff(p, levels, tile_size=128, compression="raw")
+    blob = bytearray(open(p, "rb").read())
+    # IFD entries: tag 305 (Software), type 2, count 16 — one per level
+    # directory; smash EVERY occurrence's offset
+    pat = struct.pack("<HHI", 305, 2, 16)
+    i, n_smashed = 0, 0
+    while True:
+        i = blob.find(pat, i)
+        if i < 0:
+            break
+        blob[i + 8:i + 12] = struct.pack("<I", 0xFFFFFFF0)
+        i += len(pat)
+        n_smashed += 1
+    assert n_smashed == 2
+    open(p, "wb").write(bytes(blob))
+    from wsiseg_tpu.slides.vendor import classify_tiff
+    # Software dropped -> not Philips; parse survives -> plain TIFF route
+    assert classify_tiff(p) is None
+    from wsiseg_tpu.slides.native import NativeSlide
+    s = open_slide(p)
+    assert isinstance(s, NativeSlide)
+    s.close()
+
+
+def test_ndpi_malformed_macro_raises_clean(ndpi_raw):
+    path, _, _ = ndpi_raw
+    s = NDPISlide(path)
+    from wsiseg_tpu.slides import vendor as V
+    s._associated["macro"][V._TAG_ROWS_PER_STRIP] = [0]
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        s.associated_image("macro")
+    s.close()
+
+
+def test_ndpi_over_4gib_classic_refused(tmp_path):
+    rng = np.random.RandomState(11)
+    p = str(tmp_path / "big.ndpi")
+    write_ndpi(p, _pyramid(rng), compression="raw")
+    import os
+    os.truncate(p, (1 << 32) + 4096)  # sparse; offsets would wrap
+    with pytest.raises(ValueError, match="4 GiB"):
+        NDPISlide(p)
+
+
+def test_ndpi_strip_cache_lru_refresh(tmp_path):
+    rng = np.random.RandomState(12)
+    l0 = rng.randint(0, 255, (64, 310, 3), np.uint8)
+    p = str(tmp_path / "lru.ndpi")
+    write_ndpi(p, [l0], compression="raw", rows_per_strip=16)
+    one = 16 * 310 * 3
+    s = NDPISlide(p, cache_bytes=2 * one)
+    s._strip(0, 0)
+    s._strip(0, 1)           # cache [(0,0), (0,1)]
+    s._strip(0, 0)           # hit refreshes recency -> [(0,1), (0,0)]
+    s._strip(0, 2)           # evicts LRU (0,1), not (0,0)
+    assert (0, 0) in s._cache and (0, 1) not in s._cache
+    assert s._cache_bytes == 2 * one
+    s.close()
+
+
+def test_host_step_keys_range_guard():
+    from wsiseg_tpu.train.loop import host_step_keys
+    with pytest.raises(ValueError, match="out of range"):
+        host_step_keys(0, 0, 1 << 20)
+    with pytest.raises(ValueError, match="out of range"):
+        host_step_keys(1 << 24, 0, 0)

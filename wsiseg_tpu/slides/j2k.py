@@ -152,8 +152,15 @@ def _read_ifds(f, inline_only: bool = False) -> List[Dict[int, List[int]]]:
             if typ in _TYPE_BYTES:
                 if n > _MAX_SNIFF_TEXT_BYTES:
                     continue  # lying/huge text tag — drop, never a level tag
-                f.seek(off)
-                tags[tag] = [_read_exact(f, n, f"tag {tag} text value")]
+                try:
+                    f.seek(off)
+                    tags[tag] = [_read_exact(f, n, f"tag {tag} text value")]
+                except (ValueError, OSError):
+                    # bogus offset on a descriptive tag: drop it — the old
+                    # parser ignored byte tags entirely, and aborting here
+                    # would misroute otherwise-readable slides (the sniffs
+                    # treat a parse failure as "not this vendor")
+                    pass
                 continue
             if inline_only:
                 continue
@@ -181,6 +188,19 @@ def sniff_tiff_compressions(path: str) -> Tuple[int, ...]:
     return tuple(t.get(_TAG_COMPRESSION, [0])[0] for t in ifds)
 
 
+def aperio_j2k_from_ifds(ifds) -> bool:
+    """J2K-routing predicate over an already-parsed (inline) IFD list —
+    shared by :func:`is_aperio_j2k` and ``open_slide``'s one-pass
+    classifier (vendor.classify_tiff)."""
+    pyramid = [t.get(_TAG_COMPRESSION, [1])[0] for t in ifds
+               # _TAG_TILE_W is a single inline value — a reliable
+               # tiledness probe in inline_only mode (tile offsets are
+               # out-of-line arrays and may be absent from the sniff)
+               if _TAG_TILE_W in t and t.get(_TAG_SAMPLES, [3])[0] == 3]
+    return bool(pyramid) and all(
+        c in (APERIO_J2K_YCBCR, APERIO_J2K_RGB) for c in pyramid)
+
+
 def is_aperio_j2k(path: str) -> bool:
     """True when the file's pyramid (tiled 3-sample directories) is
     entirely Aperio-JPEG2000 compressed — the routing predicate for
@@ -198,13 +218,7 @@ def is_aperio_j2k(path: str) -> bool:
             ifds = _read_ifds(f, inline_only=True)
     except (ValueError, OSError, struct.error):
         return False
-    pyramid = [t.get(_TAG_COMPRESSION, [1])[0] for t in ifds
-               # _TAG_TILE_W is a single inline value — a reliable
-               # tiledness probe in inline_only mode (tile offsets are
-               # out-of-line arrays and may be absent from the sniff)
-               if _TAG_TILE_W in t and t.get(_TAG_SAMPLES, [3])[0] == 3]
-    return bool(pyramid) and all(
-        c in (APERIO_J2K_YCBCR, APERIO_J2K_RGB) for c in pyramid)
+    return aperio_j2k_from_ifds(ifds)
 
 
 def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:

@@ -239,14 +239,14 @@ def open_slide(path: str) -> SlideReader:
             "input)")
     if ext in (".svs", ".tif", ".tiff", ".ndpi"):
         from wsiseg_tpu.slides.vendor import (NDPISlide, PhilipsTiffSlide,
-                                              sniff_vendor)
-        vendor = sniff_vendor(path)
-        if vendor == "ndpi" or ext == ".ndpi":
+                                              classify_tiff)
+        kind = classify_tiff(path)   # one inline IFD walk for all routes
+        if kind == "ndpi" or ext == ".ndpi":
             return NDPISlide(path)
-        if vendor == "philips":
+        if kind == "philips":
             return PhilipsTiffSlide(path)
-        from wsiseg_tpu.slides.j2k import J2KTiledSlide, is_aperio_j2k
-        if is_aperio_j2k(path):
+        if kind == "j2k":
+            from wsiseg_tpu.slides.j2k import J2KTiledSlide
             return J2KTiledSlide(path)
     if ext in (".svs", ".tif", ".tiff", ".wsiraw"):
         from wsiseg_tpu.slides.native import NativeSlide

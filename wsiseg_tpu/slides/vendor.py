@@ -90,16 +90,7 @@ def _tag_text(tags: Dict[int, list], tag: int) -> str:
     return bytes(vals[0]).split(b"\0", 1)[0].decode("latin-1", "replace")
 
 
-def sniff_vendor(path: str) -> Optional[str]:
-    """Identify the vendor dialect of a TIFF container: ``"ndpi"``,
-    ``"philips"``, or None (plain/Aperio TIFF). Cheap: inline IFD entries
-    plus small ASCII tag fetches only — run by ``open_slide`` on every
-    ``.tif/.tiff/.ndpi`` open."""
-    try:
-        with open(path, "rb") as f:
-            ifds = _read_ifds(f, inline_only=True)
-    except (ValueError, OSError, struct.error):
-        return None
+def _vendor_from_ifds(ifds) -> Optional[str]:
     if not ifds:
         return None
     if any(_TAG_NDPI_MARKER in t for t in ifds):
@@ -107,6 +98,38 @@ def sniff_vendor(path: str) -> Optional[str]:
     for t in ifds:
         if _tag_text(t, _TAG_SOFTWARE).startswith("Philips"):
             return "philips"
+    return None
+
+
+def sniff_vendor(path: str) -> Optional[str]:
+    """Identify the vendor dialect of a TIFF container: ``"ndpi"``,
+    ``"philips"``, or None (plain/Aperio TIFF). Cheap: inline IFD entries
+    plus small ASCII tag fetches only."""
+    try:
+        with open(path, "rb") as f:
+            ifds = _read_ifds(f, inline_only=True)
+    except (ValueError, OSError, struct.error):
+        return None
+    return _vendor_from_ifds(ifds)
+
+
+def classify_tiff(path: str) -> Optional[str]:
+    """ONE inline IFD walk feeding every routing predicate ``open_slide``
+    needs: ``"ndpi"`` / ``"philips"`` / ``"j2k"`` (Aperio JPEG2000
+    pyramid) / None (plain TIFF → the C++ native reader). Replaces three
+    independent full-file sniffs on the evaluator's many-slide open
+    path."""
+    from wsiseg_tpu.slides.j2k import aperio_j2k_from_ifds
+    try:
+        with open(path, "rb") as f:
+            ifds = _read_ifds(f, inline_only=True)
+    except (ValueError, OSError, struct.error):
+        return None
+    vendor = _vendor_from_ifds(ifds)
+    if vendor:
+        return vendor
+    if aperio_j2k_from_ifds(ifds):
+        return "j2k"
     return None
 
 
@@ -223,9 +246,15 @@ class NDPISlide:
     Pyramid = the striped RGB IFDs with SourceLens (tag 65421) > 0 (or
     untagged), ordered by width descending; SourceLens −1/−2 become the
     ``"macro"``/``"map"`` associated images (OpenSlide's naming). Strips
-    are decoded lazily into a byte-budgeted LRU cache that always retains
-    the most recent strip, so banded whole-level reads decode each strip
-    exactly once even when a level is one giant strip.
+    are decoded lazily into a byte-budgeted LRU cache (hits refresh
+    recency) that always retains the most recent strip, so banded
+    whole-level reads decode each strip exactly once even when a level
+    is one giant strip.
+
+    Classic-TIFF NDPI files larger than 4 GiB are REFUSED loudly: the
+    real-world dialect stores >32-bit strip offsets modulo 2^32 with
+    driver-side fixups (OpenSlide's ndpi quirks); decoding the wrapped
+    offsets as-is could return wrong pixels without an error.
     """
 
     def __init__(self, path: str, cache_bytes: int = 256 << 20):
@@ -234,6 +263,17 @@ class NDPISlide:
         self._io_lock = threading.Lock()
         import os
         self._fsize = os.fstat(self._f.fileno()).st_size
+        header = self._f.read(4)
+        self._f.seek(0)
+        is_bigtiff = len(header) == 4 and header[2:4] in (b"\x2b\x00",
+                                                          b"\x00\x2b")
+        if not is_bigtiff and self._fsize > (1 << 32):
+            self._f.close()
+            raise ValueError(
+                f"{path!r}: classic-TIFF NDPI over 4 GiB stores strip "
+                "offsets modulo 2^32 (the Hamamatsu >4 GiB dialect) — "
+                "refusing rather than risk decoding wrong bytes; convert "
+                "the slide with vendor tooling or use a smaller level")
         try:
             ifds = _read_ifds(self._f)
         except (ValueError, struct.error) as e:
@@ -314,6 +354,11 @@ class NDPISlide:
         if tags is None:
             raise KeyError(f"{self.path!r} has no associated image "
                            f"{name!r} (have {self.associated_names})")
+        # macro/map IFDs skip init-time validation (a broken associated
+        # image must not make the pyramid unopenable) — validate here so
+        # malformed ones raise the module's clean ValueError, not a bare
+        # KeyError/ZeroDivisionError
+        self._validate_striped(self.path, tags)
         return self._read_striped(tags, f"associated {name}")
 
     def _read_striped(self, tags: Dict[int, list], what: str) -> np.ndarray:
@@ -349,15 +394,24 @@ class NDPISlide:
         key = (level, idx)
         with self._cache_lock:
             hit = self._cache.get(key)
-        if hit is not None:
-            return hit
+            if hit is not None:
+                # true LRU: refresh recency on hit
+                self._cache.pop(key)
+                self._cache[key] = hit
+                return hit
         tags = self._levels[level]
         w, h = self._dims[level]
         rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
         sh = min(rps, h - idx * rps)
         arr = self._decode_strip_raw(tags, idx, sh, w, f"level {level}")
         with self._cache_lock:
-            # evict oldest-inserted but always keep the newly decoded
+            if key in self._cache:
+                # another thread decoded the same strip while we did —
+                # count its bytes ONCE (a double-add would leak
+                # _cache_bytes forever and degrade the cache to
+                # evict-everything-per-insert)
+                return self._cache[key]
+            # evict least-recently-used but always keep the newly decoded
             # strip, so banded reads of a one-strip level decode it once
             while self._cache and self._cache_bytes + arr.nbytes > self._cache_cap:
                 old = self._cache.pop(next(iter(self._cache)))

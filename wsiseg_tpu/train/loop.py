@@ -45,9 +45,14 @@ def host_step_keys(seed: int, epoch: int, step: int):
     Deterministic per (seed, epoch, step); the stream differs from the
     pre-round-5 chained-split discipline (any fixed derivation is
     equally valid)."""
-    base = (((seed & 0xFFFFFF) << 40)
-            ^ ((epoch & 0xFFFFF) << 20)
-            ^ (step & 0xFFFFF))
+    if not (0 <= step < (1 << 20) and 0 <= epoch < (1 << 20)
+            and 0 <= seed < (1 << 24)):
+        # the packing below is 24/20/20 bits — a silent wrap would REUSE
+        # a previous step's keys (identical jitter/dropout streams)
+        raise ValueError(
+            f"host_step_keys counter out of range (seed {seed} < 2^24, "
+            f"epoch {epoch} / step {step} < 2^20)")
+    base = ((seed << 40) ^ (epoch << 20) ^ step)
     ks = []
     for lane in (0, 1):
         z = _splitmix64(base * 2 + lane)
