@@ -354,3 +354,39 @@ def test_host_step_keys_range_guard():
         host_step_keys(0, 0, 1 << 20)
     with pytest.raises(ValueError, match="out of range"):
         host_step_keys(1 << 24, 0, 0)
+
+
+def test_slide_collection_discovers_all_vendor_extensions(tmp_path):
+    """Directory-mode SlideCollection (the eval CLI's discovery) must see
+    every extension open_slide routes: svs, tif, tiff, ndpi, wsiraw, npy,
+    plus Case*/ subdirs — not just the reference's .svs."""
+    from wsiseg_tpu.config import default_config
+    from wsiseg_tpu.data.wsi_tiles import SlideCollection
+    from wsiseg_tpu.slides import SyntheticSlide
+    from wsiseg_tpu.slides.native import write_raw_pyramid, write_tiled_pyramid
+
+    # level 2 must fit ≥1 tile: 2048/4² = 512×384 at scan_level 2
+    syn = SyntheticSlide(width=2048, height=1536, num_levels=3, seed=5)
+    levels = [syn.read_level(k) for k in range(3)]
+    d = tmp_path / "slides"
+    (d / "Case1").mkdir(parents=True)
+    write_tiled_pyramid(str(d / "Case1" / "a.svs"), levels, tile_size=128)
+    write_tiled_pyramid(str(d / "b.tif"), levels, tile_size=128)
+    write_philips_tiff(str(d / "c.tiff"), levels, tile_size=128,
+                       compression="raw")
+    write_ndpi(str(d / "d.ndpi"), levels, compression="raw",
+               rows_per_strip=64)
+    write_raw_pyramid(str(d / "e.wsiraw"), levels)
+    # .npy loads as an ArraySlide that builds its own 3-level pyramid, so
+    # give it level 0 (its scan level then matches the others')
+    np.save(str(d / "f.npy"), levels[0])
+
+    cfg = default_config(tile_w=64, tile_h=64, tile_stride_w=64,
+                         tile_stride_h=64, compute_dtype="float32",
+                         wsi_mask_pth=str(tmp_path / "masks"))
+    coll = SlideCollection(str(d), cfg)
+    assert sorted(coll.plans) == ["a.svs", "b.tif", "c.tiff", "d.ndpi",
+                                  "e.wsiraw", "f.npy"]
+    # pyramid-backed plans agree on geometry (npy is single-level)
+    grids = {n: len(p.grid) for n, p in coll.plans.items()}
+    assert grids["d.ndpi"] == grids["a.svs"] == grids["c.tiff"] > 0

@@ -93,8 +93,14 @@ def plan_slide(name: str, slide: SlideReader, cfg: Config,
 
 
 class SlideCollection:
-    """All slides of a directory (``Case*/*.svs`` plus loose ``*.svs``/
-    ``*.tif``/``*.npy``), or an explicit list of (name, SlideReader)."""
+    """All slides of a directory (``Case*/*.<ext>`` plus loose files, for
+    every extension ``open_slide`` routes — see ``_SLIDE_EXTS``), or an
+    explicit list of (name, SlideReader)."""
+
+    # every extension open_slide routes (reader.open_slide): Aperio SVS,
+    # plain/Philips TIFF, Hamamatsu NDPI, the native .wsiraw pyramid, and
+    # .npy array slides
+    _SLIDE_EXTS = ("svs", "tif", "tiff", "ndpi", "wsiraw", "npy")
 
     def __init__(self, source, cfg: Config,
                  mask_cache_dir: Optional[str] = None):
@@ -104,10 +110,10 @@ class SlideCollection:
 
         if isinstance(source, str):
             paths = sorted(
-                glob.glob(os.path.join(source, "Case*", "*.svs"))
-                + glob.glob(os.path.join(source, "*.svs"))
-                + glob.glob(os.path.join(source, "*.tif"))
-                + glob.glob(os.path.join(source, "*.npy")))
+                p for ext in self._SLIDE_EXTS
+                for pat in (os.path.join(source, "Case*", f"*.{ext}"),
+                            os.path.join(source, f"*.{ext}"))
+                for p in glob.glob(pat))
             entries = [(os.path.basename(p), open_slide(p), p) for p in paths]
         else:
             entries = [(e[0], e[1], e[2] if len(e) > 2 else None)
