@@ -390,3 +390,19 @@ def test_slide_collection_discovers_all_vendor_extensions(tmp_path):
     # pyramid-backed plans agree on geometry (npy is single-level)
     grids = {n: len(p.grid) for n, p in coll.plans.items()}
     assert grids["d.ndpi"] == grids["a.svs"] == grids["c.tiff"] > 0
+
+
+def test_glob_slides_single_source_of_truth(tmp_path):
+    from wsiseg_tpu.slides.reader import glob_slides
+    d = tmp_path / "s"
+    (d / "Case9").mkdir(parents=True)
+    for name in ("x.svs", "y.tiff", "z.ndpi", "w.wsiraw", "v.npy", "u.txt"):
+        (d / name).write_bytes(b"")
+    (d / "Case9" / "c.svs").write_bytes(b"")
+    got = [p.split("/")[-1] for p in glob_slides(str(d), case_dirs=True)]
+    assert sorted(got) == ["c.svs", "v.npy", "w.wsiraw", "x.svs", "y.tiff",
+                           "z.ndpi"]
+    no_npy = glob_slides(str(d), include_npy=False)
+    assert not any(p.endswith(".npy") for p in no_npy)
+    # no Case* scan unless asked
+    assert not any("Case9" in p for p in glob_slides(str(d)))

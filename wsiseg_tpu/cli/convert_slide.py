@@ -23,7 +23,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p = argparse.ArgumentParser(description="slide → .wsiraw ingest")
     p.add_argument("src", nargs="?", help="input slide (.svs/.tif/.npy)")
     p.add_argument("dst", nargs="?", help="output .wsiraw path")
-    p.add_argument("--dir", help="convert every *.svs/*.tif under this dir")
+    p.add_argument("--dir", help="convert every slide (any supported "
+                   "extension: svs/tif/tiff/ndpi) under this dir")
     p.add_argument("--out_dir", help="output dir for --dir mode")
     ns = p.parse_args(argv)
 
@@ -32,9 +33,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if ns.dir:
         out_dir = ns.out_dir or ns.dir
         os.makedirs(out_dir, exist_ok=True)
-        pats = ("*.svs", "*.tif", "*.tiff")
-        srcs = sorted(s for pat in pats
-                      for s in glob.glob(os.path.join(ns.dir, pat)))
+        from wsiseg_tpu.slides.reader import glob_slides
+        # .npy excluded (nothing to gain converting an array slide) and
+        # .wsiraw naturally absent from glob results here would still be
+        # skipped below as already-converted
+        srcs = [s for s in glob_slides(ns.dir, include_npy=False)
+                if not s.endswith(".wsiraw")]
         if not srcs:
             raise SystemExit(f"no slides under {ns.dir!r}")
         for src in srcs:

@@ -94,13 +94,8 @@ def plan_slide(name: str, slide: SlideReader, cfg: Config,
 
 class SlideCollection:
     """All slides of a directory (``Case*/*.<ext>`` plus loose files, for
-    every extension ``open_slide`` routes — see ``_SLIDE_EXTS``), or an
-    explicit list of (name, SlideReader)."""
-
-    # every extension open_slide routes (reader.open_slide): Aperio SVS,
-    # plain/Philips TIFF, Hamamatsu NDPI, the native .wsiraw pyramid, and
-    # .npy array slides
-    _SLIDE_EXTS = ("svs", "tif", "tiff", "ndpi", "wsiraw", "npy")
+    every extension ``open_slide`` routes — ``reader.glob_slides``), or
+    an explicit list of (name, SlideReader)."""
 
     def __init__(self, source, cfg: Config,
                  mask_cache_dir: Optional[str] = None):
@@ -109,11 +104,8 @@ class SlideCollection:
         mask_dir = mask_cache_dir if mask_cache_dir is not None else cfg.wsi_mask_pth
 
         if isinstance(source, str):
-            paths = sorted(
-                p for ext in self._SLIDE_EXTS
-                for pat in (os.path.join(source, "Case*", f"*.{ext}"),
-                            os.path.join(source, f"*.{ext}"))
-                for p in glob.glob(pat))
+            from wsiseg_tpu.slides.reader import glob_slides
+            paths = glob_slides(source, case_dirs=True)
             entries = [(os.path.basename(p), open_slide(p), p) for p in paths]
         else:
             entries = [(e[0], e[1], e[2] if len(e) > 2 else None)

@@ -79,9 +79,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             continue
 
     pairs = []
-    for svs in sorted(glob.glob(f"{ns.raw_val_pth}/Case*/*.svs")
-                      + glob.glob(f"{ns.raw_val_pth}/*.svs")
-                      + glob.glob(f"{ns.raw_val_pth}/*.npy")):
+    from wsiseg_tpu.slides.reader import glob_slides
+    for svs in glob_slides(ns.raw_val_pth, case_dirs=True):
         try:
             slide_id = int(os.path.splitext(os.path.basename(svs))[0])
         except ValueError:

@@ -78,7 +78,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     svs_path = None
     for root, _, names in os.walk(ns.raw_val_pth):
-        for ext in (".svs", ".npy"):
+        # every routable slide extension (reader.SLIDE_EXTS) + .npy
+        for ext in (".svs", ".tif", ".tiff", ".ndpi", ".wsiraw", ".npy"):
             if f"{ns.image_id}{ext}" in names:
                 svs_path = os.path.join(root, f"{ns.image_id}{ext}")
                 break

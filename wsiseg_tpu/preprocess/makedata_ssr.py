@@ -10,6 +10,7 @@ tile size, and either save an image/GT-mask pair (segmentation option,
 from __future__ import annotations
 
 import glob
+
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -19,7 +20,7 @@ from PIL import Image
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data import metadata as md
 from wsiseg_tpu.ops.cc import connected_components_with_stats
-from wsiseg_tpu.slides.reader import SlideReader, open_slide
+from wsiseg_tpu.slides.reader import SlideReader, glob_slides, open_slide
 from wsiseg_tpu.utils.filesystem import make_folder
 
 # reference train/val slide split (makedata_ssr.py:36-39)
@@ -75,8 +76,7 @@ def generate(raw_pth: str, out_dirs: Sequence[str], cfg: Config,
     from wsiseg_tpu.data import annotations as ann
 
     split = split or DEFAULT_SPLIT
-    wsipaths = sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                      + glob.glob(os.path.join(raw_pth, "*.npy")))
+    wsipaths = glob_slides(raw_pth)
     for ij, out_dir in enumerate(out_dirs):
         make_folder(out_dir, purge=True)
         metadata: dict = {}

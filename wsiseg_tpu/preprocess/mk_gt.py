@@ -14,6 +14,7 @@ These are the GT artifacts the eval engine consumes
 from __future__ import annotations
 
 import glob
+
 import os
 from typing import Optional, Sequence
 
@@ -21,7 +22,7 @@ import numpy as np
 from PIL import Image
 
 from wsiseg_tpu.config import Config, parse_args
-from wsiseg_tpu.slides.reader import SlideReader, open_slide
+from wsiseg_tpu.slides.reader import SlideReader, glob_slides, open_slide
 
 
 def generate_for_slide(slide: SlideReader, wsipath: str, xmlpath: str,
@@ -71,8 +72,7 @@ def generate_for_slide(slide: SlideReader, wsipath: str, xmlpath: str,
 
 def generate(raw_pth: str, cfg: Config, fmt: str = "aperio") -> list:
     out = []
-    for wsipath in sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                          + glob.glob(os.path.join(raw_pth, "*.npy"))):
+    for wsipath in glob_slides(raw_pth):
         stem = os.path.splitext(wsipath)[0]
         xml = (glob.glob(stem + "*.session.xml") if fmt == "sedeen"
                else [stem + ".xml"])

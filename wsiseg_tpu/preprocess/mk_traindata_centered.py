@@ -12,6 +12,7 @@ crops are written as ``w_*/g_*.png`` with a gt.npy store.
 from __future__ import annotations
 
 import glob
+
 import os
 from typing import Optional, Sequence
 
@@ -22,7 +23,7 @@ from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data import metadata as md
 from wsiseg_tpu.ops.cc import connected_components_with_stats
 from wsiseg_tpu.ops.geometry import nextpow2
-from wsiseg_tpu.slides.reader import SlideReader, open_slide
+from wsiseg_tpu.slides.reader import SlideReader, glob_slides, open_slide
 from wsiseg_tpu.utils.filesystem import make_folder
 
 
@@ -136,8 +137,7 @@ def generate(raw_pth: str, out_pth: str, cfg: Config,
     make_folder(out_pth)
     metadata = md.load_store(out_pth)
     patch_id = 0
-    for wsipath in sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                          + glob.glob(os.path.join(raw_pth, "*.npy"))):
+    for wsipath in glob_slides(raw_pth):
         stem = os.path.splitext(wsipath)[0]
         slide = open_slide(wsipath)
         if fmt == "sedeen":

@@ -10,6 +10,7 @@ are skipped (:84-85).
 from __future__ import annotations
 
 import glob
+
 import os
 from typing import List, Optional, Sequence
 
@@ -19,7 +20,7 @@ from PIL import Image
 from wsiseg_tpu.config import Config, parse_args
 from wsiseg_tpu.data import metadata as md
 from wsiseg_tpu.preprocess.mk_traindata_centered import generate_for_slide
-from wsiseg_tpu.slides.reader import SlideReader, open_slide
+from wsiseg_tpu.slides.reader import SlideReader, glob_slides, open_slide
 from wsiseg_tpu.utils.filesystem import make_folder
 
 
@@ -45,8 +46,7 @@ def generate(raw_pth: str, out_pth: str, cfg: Config,
     make_folder(out_pth)
     metadata = md.load_store(out_pth)
     patch_id = 0
-    for wsipath in sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                          + glob.glob(os.path.join(raw_pth, "*.npy"))):
+    for wsipath in glob_slides(raw_pth):
         if slide_names is not None and \
                 os.path.basename(wsipath) not in slide_names:
             continue

@@ -13,6 +13,7 @@ stride-subsampled bwperim. Output is the nested gt.npy HR store consumed by
 from __future__ import annotations
 
 import glob
+
 import os
 from typing import Optional, Sequence
 
@@ -27,7 +28,7 @@ from wsiseg_tpu.ops.cc import connected_components
 from wsiseg_tpu.ops.contour import evenly_spaced_points_on_a_contour
 from wsiseg_tpu.ops.hull import concave_hull_points
 from wsiseg_tpu.proposals import perimeter_keypoints
-from wsiseg_tpu.slides.reader import SlideReader, open_slide
+from wsiseg_tpu.slides.reader import SlideReader, glob_slides, open_slide
 from wsiseg_tpu.utils.filesystem import make_folder
 
 
@@ -73,8 +74,7 @@ def generate_cc(raw_pth: str, out_pth: str, cfg: Config,
     make_folder(out_pth, purge=True)
     metadata = md.load_store(out_pth)
 
-    for wsipath in sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                          + glob.glob(os.path.join(raw_pth, "*.npy"))):
+    for wsipath in glob_slides(raw_pth):
         stem = os.path.splitext(wsipath)[0]
         xml = stem + ".xml"
         if not os.path.exists(xml):
@@ -119,8 +119,7 @@ def generate_slic(raw_pth: str, out_pth: str, cfg: Config,
     make_folder(out_pth, purge=True)
     metadata = md.load_store(out_pth)
 
-    for wsipath in sorted(glob.glob(os.path.join(raw_pth, "*.svs"))
-                          + glob.glob(os.path.join(raw_pth, "*.npy"))):
+    for wsipath in glob_slides(raw_pth):
         stem = os.path.splitext(wsipath)[0]
         xml = stem + ".xml"
         if not os.path.exists(xml):

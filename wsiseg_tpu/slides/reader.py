@@ -215,6 +215,29 @@ class VirtualPyramidSlide:
         pass
 
 
+# every extension open_slide can route to a reader (vendor dialects
+# included); .npy array slides are opt-in per call site
+SLIDE_EXTS = ("svs", "tif", "tiff", "ndpi", "wsiraw")
+
+
+def glob_slides(directory: str, include_npy: bool = True,
+                case_dirs: bool = False) -> list:
+    """Sorted slide paths under ``directory`` for every extension
+    :func:`open_slide` routes (plus ``.npy`` unless disabled;
+    ``case_dirs`` also scans ``Case*/`` subdirectories — the reference's
+    eval layout). Single source of truth for directory discovery — the
+    preprocess generators, eval collections and converters all use it,
+    so a new vendor format lands everywhere at once."""
+    import glob as _glob
+    exts = SLIDE_EXTS + (("npy",) if include_npy else ())
+    pats = []
+    for ext in exts:
+        if case_dirs:
+            pats.append(os.path.join(directory, "Case*", f"*.{ext}"))
+        pats.append(os.path.join(directory, f"*.{ext}"))
+    return sorted(p for pat in pats for p in _glob.glob(pat))
+
+
 def open_slide(path: str) -> SlideReader:
     """Open a slide file by extension and vendor sniff.
 
