@@ -406,3 +406,93 @@ def test_glob_slides_single_source_of_truth(tmp_path):
     assert not any(p.endswith(".npy") for p in no_npy)
     # no Case* scan unless asked
     assert not any("Case9" in p for p in glob_slides(str(d)))
+
+
+# ---------------------------------------------------------------------------
+# restart-banded JPEG decode (slides/jpegband.py) — real-NDPI layout:
+# one giant JPEG strip per level, DRI restart markers at MCU-row bounds
+# ---------------------------------------------------------------------------
+
+
+def test_ndpi_restart_banded_reads_bit_identical(tmp_path):
+    """Banded reads of a single-JPEG-strip NDPI equal the whole-image
+    decode BIT-IDENTICALLY (chroma-upsampling margin handled), and only
+    the touched rows are ever decoded."""
+    import io
+    from PIL import Image
+    from wsiseg_tpu.slides import jpegband
+
+    rng = np.random.RandomState(20)
+    l0 = rng.randint(0, 255, (317, 451, 3), np.uint8)
+    p = str(tmp_path / "band.ndpi")
+    write_ndpi(p, [l0], compression="jpeg", restart_rows=2)
+
+    # whole-decode oracle straight from the embedded stream
+    s = NDPISlide(p)
+    assert s._band_structure(0) is not None, "fixture must be bandable"
+    st = s._band_structure(0)[0]
+    off = s._levels[0][273][0]
+    cnt = s._levels[0][279][0]
+    blob = open(p, "rb").read()[off:off + cnt]
+    oracle = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+
+    decoded_spans = []
+    real_decode = jpegband.decode_rows
+
+    def spy(ra, stc, starts, eoi, y0, y1):
+        decoded_spans.append((y0, y1))
+        return real_decode(ra, stc, starts, eoi, y0, y1)
+
+    jpegband.decode_rows = spy
+    try:
+        np.testing.assert_array_equal(
+            s.read_region((40, 50), 0, (100, 80)), oracle[50:130, 40:140])
+        np.testing.assert_array_equal(
+            s.read_region((0, 300), 0, (451, 40))[:17], oracle[300:317])
+        tiles = s.read_tiles([0, 128], [64, 64], 0, 128, 64)
+        np.testing.assert_array_equal(tiles[0], oracle[64:128, 0:128])
+        np.testing.assert_array_equal(tiles[1], oracle[64:128, 128:256])
+    finally:
+        jpegband.decode_rows = real_decode
+    # bounded: no decode ever spanned the whole strip
+    assert decoded_spans and all(y1 - y0 <= 96 for (y0, y1) in decoded_spans), \
+        decoded_spans
+    # the tile pair at the same rows hit the band cache: one decode
+    assert len([sp for sp in decoded_spans if sp == (64, 128)]) == 1
+    # full-level read still matches
+    np.testing.assert_array_equal(s.read_level(0), oracle)
+    s.close()
+
+
+def test_ndpi_jpeg_without_restarts_falls_back(tmp_path):
+    """No DRI → _band_structure None → whole-strip decode path."""
+    levels = _flat_pyramid()
+    p = str(tmp_path / "norst.ndpi")
+    write_ndpi(p, levels, compression="jpeg")  # no restart markers
+    s = NDPISlide(p)
+    assert s._band_structure(0) is None
+    r = s.read_region((10, 10), 0, (64, 64))
+    assert np.abs(r.astype(int) - [90, 140, 200]).max() <= 3
+    s.close()
+
+
+def test_ndpi_banded_convert_to_wsiraw(tmp_path):
+    """Banded NDPI → banded wsiraw conversion: exact vs the whole-decode
+    oracle (the production ingest path for real NDPI files)."""
+    import io
+    from PIL import Image
+    rng = np.random.RandomState(21)
+    l0 = rng.randint(0, 255, (256, 320, 3), np.uint8)
+    p = str(tmp_path / "conv.ndpi")
+    write_ndpi(p, [l0], compression="jpeg", restart_rows=1, quality=92)
+    s = NDPISlide(p)
+    off = s._levels[0][273][0]
+    cnt = s._levels[0][279][0]
+    blob = open(p, "rb").read()[off:off + cnt]
+    oracle = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    s.close()
+    dst = str(tmp_path / "conv.wsiraw")
+    convert_to_wsiraw(p, dst, max_band_bytes=32 * 320 * 3)
+    out = open_slide(dst)
+    np.testing.assert_array_equal(out.read_level(0), oracle)
+    out.close()

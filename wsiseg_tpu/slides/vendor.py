@@ -309,10 +309,13 @@ class NDPISlide:
                            for t in levels)
         w0 = float(self._dims[0][0])
         self._downsamples = tuple(w0 / w for (w, _h) in self._dims)
-        self._cache: Dict[Tuple[int, int], np.ndarray] = {}
+        self._cache: Dict[tuple, np.ndarray] = {}
         self._cache_bytes = 0
         self._cache_cap = cache_bytes
         self._cache_lock = threading.Lock()
+        # restart-banded decode state per level (False = not probed yet;
+        # None = not bandable → whole-strip decode)
+        self._bandinfo: Dict[int, object] = {}
 
     def _validate_striped(self, path: str, tags: Dict[int, list]) -> None:
         w, h = tags[_TAG_WIDTH][0], tags.get(_TAG_HEIGHT, [0])[0]
@@ -389,36 +392,98 @@ class NDPISlide:
         return _decode_block(data, comp, sh, w, tbytes,
                              f"{self.path!r}: {what} strip {idx}")
 
-    def _strip(self, level: int, idx: int) -> np.ndarray:
-        """Cached decode of pyramid strip ``idx`` of ``level``."""
-        key = (level, idx)
+    def _read_at(self, pos: int, n: int) -> bytes:
+        with self._io_lock:
+            self._f.seek(pos)
+            return self._f.read(n)
+
+    def _cache_get(self, key):
         with self._cache_lock:
             hit = self._cache.get(key)
             if hit is not None:
-                # true LRU: refresh recency on hit
-                self._cache.pop(key)
+                self._cache.pop(key)       # LRU: refresh recency
                 self._cache[key] = hit
-                return hit
-        tags = self._levels[level]
-        w, h = self._dims[level]
-        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
-        sh = min(rps, h - idx * rps)
-        arr = self._decode_strip_raw(tags, idx, sh, w, f"level {level}")
+            return hit
+
+    def _cache_put(self, key, arr: np.ndarray) -> np.ndarray:
         with self._cache_lock:
             if key in self._cache:
-                # another thread decoded the same strip while we did —
-                # count its bytes ONCE (a double-add would leak
-                # _cache_bytes forever and degrade the cache to
-                # evict-everything-per-insert)
-                return self._cache[key]
-            # evict least-recently-used but always keep the newly decoded
-            # strip, so banded reads of a one-strip level decode it once
+                return self._cache[key]    # lost a decode race: count once
             while self._cache and self._cache_bytes + arr.nbytes > self._cache_cap:
                 old = self._cache.pop(next(iter(self._cache)))
                 self._cache_bytes -= old.nbytes
             self._cache[key] = arr
             self._cache_bytes += arr.nbytes
         return arr
+
+    def _band_structure(self, level: int):
+        """Lazily probe a single-JPEG-strip level for restart-banded
+        random access (slides/jpegband.py): returns (structure,
+        segment starts, EOI offset, read_at-closure) or None when the
+        level must be decoded whole (multi-strip, raw, no/ragged DRI,
+        progressive). The one-time restart index scan reads the strip
+        linearly WITHOUT decoding it."""
+        cached = self._bandinfo.get(level, False)
+        if cached is not False:
+            return cached
+        from wsiseg_tpu.slides.jpegband import (index_restarts,
+                                                parse_structure)
+        info = None
+        tags = self._levels[level]
+        w, h = self._dims[level]
+        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        comp = tags.get(_TAG_COMPRESSION, [_COMP_NONE])[0]
+        if comp in (_COMP_JPEG_OLD, _COMP_JPEG) and (h + rps - 1) // rps == 1:
+            off = tags[_TAG_STRIP_OFFSETS][0]
+            cnt = tags[_TAG_STRIP_COUNTS][0]
+            if 0 < off and 0 < cnt and off + cnt <= self._fsize:
+                st = parse_structure(self._read_at(off, min(cnt, 256 << 10)))
+                if (st is not None and st.bandable
+                        and st.width >= w and st.height >= h):
+                    ra = (lambda p, n, _o=off: self._read_at(_o + p, n))
+                    starts, eoi = index_restarts(
+                        ra, st.entropy_start, cnt - st.entropy_start)
+                    info = (st, starts, eoi, ra)
+        self._bandinfo[level] = info
+        return info
+
+    def _jband(self, level: int, y0: int, y1: int) -> np.ndarray:
+        """Cached banded decode of pixel rows [y0, y1) of a bandable
+        level — peak memory is the requested band plus one restart
+        segment of chroma-upsampling margin per side, never the whole
+        (potentially multi-GB) strip."""
+        key = ("jband", level, y0, y1)
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
+        from wsiseg_tpu.slides.jpegband import decode_rows
+        st, starts, eoi, ra = self._band_structure(level)
+        try:
+            arr = decode_rows(ra, st, starts, eoi, y0, y1)
+        except Exception as e:
+            raise ValueError(
+                f"{self.path!r}: level {level} banded JPEG decode of rows "
+                f"[{y0},{y1}) failed: {e}") from e
+        return self._cache_put(key, arr)
+
+    def _strip(self, level: int, idx: int) -> np.ndarray:
+        """Cached decode of pyramid strip ``idx`` of ``level``.
+
+        The LRU always keeps the newly decoded strip (the _cache_put
+        eviction loop stops before removing it), so banded reads of a
+        one-strip level decode it exactly once; the decode-race re-check
+        in _cache_put counts a concurrently inserted strip's bytes ONCE
+        (a double-add would leak _cache_bytes forever)."""
+        key = (level, idx)
+        hit = self._cache_get(key)
+        if hit is not None:
+            return hit
+        tags = self._levels[level]
+        w, h = self._dims[level]
+        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        sh = min(rps, h - idx * rps)
+        arr = self._decode_strip_raw(tags, idx, sh, w, f"level {level}")
+        return self._cache_put(key, arr)
 
     def _read_at_level(self, level: int, x0: int, y0: int,
                        w: int, h: int) -> np.ndarray:
@@ -429,6 +494,13 @@ class NDPISlide:
         sy0, sy1 = max(0, y0), min(lh, y0 + h)
         sx0, sx1 = max(0, x0), min(lw, x0 + w)
         if sy1 <= sy0 or sx1 <= sx0:
+            return out
+        if self._band_structure(level) is not None:
+            # single-JPEG-strip level with restart markers: decode only
+            # the touched rows (real NDPI level 0 is one multi-GB JPEG —
+            # whole-strip decode would hold the full level in host RAM)
+            band = self._jband(level, sy0, sy1)
+            out[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = band[:, sx0:sx1]
             return out
         for s in range(sy0 // rps, (sy1 + rps - 1) // rps):
             strip = self._strip(level, s)
@@ -753,12 +825,14 @@ def _encode_jpeg(arr: np.ndarray, quality: int) -> bytes:
 def write_ndpi(path: str, levels: Sequence[np.ndarray],
                magnifications: Optional[Sequence[float]] = None,
                compression: str = "jpeg", rows_per_strip: int = 0,
-               quality: int = 95,
+               quality: int = 95, restart_rows: int = 0,
                macro: Optional[np.ndarray] = None) -> str:
     """Write a Hamamatsu-NDPI-layout TIFF: striped whole-image IFDs with
     the NDPI marker (65420) and SourceLens (65421) tags. ``rows_per_strip``
-    0 means one strip per image (the common real layout); ``macro`` adds a
-    SourceLens=-1 associated image."""
+    0 means one strip per image (the common real layout); ``restart_rows``
+    N writes JPEG strips with a DRI restart marker every N MCU rows (the
+    real NDP.scan layout that makes giant strips randomly accessible —
+    slides/jpegband.py); ``macro`` adds a SourceLens=-1 image."""
     if magnifications is None:
         magnifications = [40.0 / (2 ** i) for i in range(len(levels))]
     b = _TiffBuilder()
@@ -771,7 +845,15 @@ def write_ndpi(path: str, levels: Sequence[np.ndarray],
         for y0 in range(0, h, rps):
             band = arr[y0:y0 + rps]
             if compression == "jpeg":
-                data = _encode_jpeg(band, quality)
+                if restart_rows:
+                    from PIL import Image
+                    buf = io.BytesIO()
+                    Image.fromarray(band).save(
+                        buf, "JPEG", quality=quality,
+                        restart_marker_rows=restart_rows)
+                    data = buf.getvalue()
+                else:
+                    data = _encode_jpeg(band, quality)
                 comp, photo = _COMP_JPEG_OLD, 6
             else:
                 data = band.tobytes()
