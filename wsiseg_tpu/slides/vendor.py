@@ -29,9 +29,10 @@ production pipelines convert once to ``.wsiraw`` for the C++ fast path
 Known bounds (documented, loud): multi-file formats (MIRAX ``.mrxs``,
 DICOM WSI) are rejected with an explanatory error in ``open_slide``;
 LZW tiles route to the C++/libtiff reader rather than being re-decoded
-here; giant single-strip NDPI level-0 images are decoded one whole strip
-at a time (the format offers no finer random access without the
-restart-marker index tag, which real files do not always carry).
+here. Giant single-strip NDPI JPEG levels are randomly accessed by
+DRI restart-marker bands (:mod:`wsiseg_tpu.slides.jpegband` — the real
+NDP.scan layout), bit-identical to a whole decode with bounded memory;
+streams without restart markers fall back to whole-strip decode.
 """
 
 from __future__ import annotations
