@@ -496,3 +496,33 @@ def test_ndpi_banded_convert_to_wsiraw(tmp_path):
     out = open_slide(dst)
     np.testing.assert_array_equal(out.read_level(0), oracle)
     out.close()
+
+
+def test_ndpi_banded_corrupt_segment_raises_clean(tmp_path):
+    """Garbage inside a restart segment surfaces as the module's clean
+    ValueError (not a bare PIL exception) and names the row span."""
+    rng = np.random.RandomState(22)
+    l0 = rng.randint(0, 255, (256, 320, 3), np.uint8)
+    p = str(tmp_path / "corrupt.ndpi")
+    write_ndpi(p, [l0], compression="jpeg", restart_rows=1, quality=92)
+    s = NDPISlide(p)
+    st, starts, eoi, ra = s._band_structure(0)
+    assert len(starts) > 4
+    off = s._levels[0][273][0]
+    blob = bytearray(open(p, "rb").read())
+    # zero 64 bytes inside the 3rd restart segment's entropy data
+    seg = off + starts[2] + 8
+    blob[seg:seg + 64] = b"\xff\x00" * 32  # stuffed-FF soup -> decode error
+    open(p, "wb").write(bytes(blob))
+    s.close()
+    s2 = NDPISlide(p)
+    rps = st.rows_per_segment_px
+    try:
+        band = s2.read_region((0, 2 * rps), 0, (320, rps))
+        # some libjpeg builds resync past corruption instead of failing:
+        # then output must still be the right shape (white/garbage rows,
+        # never a crash)
+        assert band.shape == (rps, 320, 3)
+    except ValueError as e:
+        assert "banded JPEG decode" in str(e)
+    s2.close()
