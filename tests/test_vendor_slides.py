@@ -454,8 +454,9 @@ def test_ndpi_restart_banded_reads_bit_identical(tmp_path):
         np.testing.assert_array_equal(tiles[1], oracle[64:128, 128:256])
     finally:
         jpegband.decode_rows = real_decode
-    # bounded: no decode ever spanned the whole strip
-    assert decoded_spans and all(y1 - y0 <= 96 for (y0, y1) in decoded_spans), \
+    # bounded: no decode ever spanned the whole 317-row strip (spans are
+    # segment-aligned: ≤ request + 2·rows_per_segment − 1 = 80 + 63)
+    assert decoded_spans and all(y1 - y0 <= 160 for (y0, y1) in decoded_spans), \
         decoded_spans
     # the tile pair at the same rows hit the band cache: one decode
     assert len([sp for sp in decoded_spans if sp == (64, 128)]) == 1
@@ -526,3 +527,46 @@ def test_ndpi_banded_corrupt_segment_raises_clean(tmp_path):
     except ValueError as e:
         assert "banded JPEG decode" in str(e)
     s2.close()
+
+
+def test_ndpi_jpegtables_strip_not_banded(tmp_path):
+    """Abbreviated JPEG strips (split JPEGTables tag) must NOT band-decode
+    (the synthetic band JPEG would lack DQT/DHT) — they keep the
+    whole-strip path, which merges the tables and stays correct."""
+    from wsiseg_tpu.slides import vendor as V
+    import io
+    from PIL import Image
+    rng = np.random.RandomState(30)
+    img = rng.randint(0, 255, (64, 96, 3), np.uint8)
+    full = V._encode_jpeg(img, 90, restart_rows=1)  # bandable if not split
+    tables, abbrev = _split_jpeg_tables(full)
+    b = V._TiffBuilder()
+    off = b.blob(abbrev)
+    b.add_ifd([
+        (V._TAG_WIDTH, 4, 96), (V._TAG_HEIGHT, 4, 64),
+        (V._TAG_BITS, 3, [8, 8, 8]),
+        (V._TAG_COMPRESSION, 3, V._COMP_JPEG),
+        (V._TAG_PHOTOMETRIC, 3, 6), (V._TAG_SAMPLES, 3, 3),
+        (V._TAG_ROWS_PER_STRIP, 4, 64),
+        (V._TAG_STRIP_OFFSETS, 4, [off]),
+        (V._TAG_STRIP_COUNTS, 4, [len(abbrev)]),
+        (V._TAG_JPEG_TABLES, 7, tables),
+        (V._TAG_NDPI_MARKER, 4, 1),
+        (V._TAG_NDPI_SOURCELENS, 11, [40.0]),
+    ])
+    p = str(tmp_path / "abbrev.ndpi")
+    b.save(p)
+    s = NDPISlide(p)
+    assert s._band_structure(0) is None
+    oracle = np.asarray(Image.open(io.BytesIO(full)).convert("RGB"))
+    np.testing.assert_array_equal(s.read_level(0), oracle)
+    s.close()
+
+
+def test_parse_structure_malformed_sof_returns_none():
+    from wsiseg_tpu.slides.jpegband import parse_structure
+    # SOF segment shorter than its component table
+    assert parse_structure(b"\xff\xd8\xff\xc0\x00\x04\x08\x00") is None
+    assert parse_structure(b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x40\x00"
+                           b"\x60\x03") is None  # ncomp=3, no comp bytes
+    assert parse_structure(b"not a jpeg") is None

@@ -98,9 +98,13 @@ def parse_structure(head: bytes) -> Optional[JpegStructure]:
             sof_off = i
             body = head[i + 4:seg_end]
             # precision(1) H(2) W(2) ncomp(1) then per-comp (id, HV, tq)
+            if len(body) < 6:
+                return None  # truncated/malformed SOF — not bandable
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                return None
             max_h = max_v = 1
             for c in range(ncomp):
                 hv = body[6 + c * 3 + 1]
@@ -186,4 +190,12 @@ def decode_rows(read_at, structure: JpegStructure, seg_starts: List[int],
                       np.uint8)
         arr = np.concatenate([arr, pad], axis=0)
     r0 = y0 - a * rps
-    return np.ascontiguousarray(arr[r0:r0 + (y1 - y0), :structure.width])
+    out = np.ascontiguousarray(arr[r0:r0 + (y1 - y0), :structure.width])
+    if out.shape[0] != y1 - y0:
+        # fewer restart segments in the entropy stream than the declared
+        # geometry implies (corruption / ragged encoder) — a short return
+        # would surface as a bare numpy broadcast error in the caller
+        raise ValueError(
+            f"stream carries only {len(seg_starts)} restart segments — "
+            f"rows [{y0},{y1}) are not addressable")
+    return out

@@ -315,8 +315,11 @@ class NDPISlide:
         self._cache_cap = cache_bytes
         self._cache_lock = threading.Lock()
         # restart-banded decode state per level (False = not probed yet;
-        # None = not bandable → whole-strip decode)
+        # None = not bandable → whole-strip decode). The probe lock keeps
+        # two first readers from both running the linear restart-index
+        # scan of a multi-GB strip.
         self._bandinfo: Dict[int, object] = {}
+        self._band_lock = threading.Lock()
 
     def _validate_striped(self, path: str, tags: Dict[int, list]) -> None:
         w, h = tags[_TAG_WIDTH][0], tags.get(_TAG_HEIGHT, [0])[0]
@@ -424,48 +427,62 @@ class NDPISlide:
         level must be decoded whole (multi-strip, raw, no/ragged DRI,
         progressive). The one-time restart index scan reads the strip
         linearly WITHOUT decoding it."""
-        cached = self._bandinfo.get(level, False)
-        if cached is not False:
-            return cached
-        from wsiseg_tpu.slides.jpegband import (index_restarts,
-                                                parse_structure)
-        info = None
-        tags = self._levels[level]
-        w, h = self._dims[level]
-        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
-        comp = tags.get(_TAG_COMPRESSION, [_COMP_NONE])[0]
-        if comp in (_COMP_JPEG_OLD, _COMP_JPEG) and (h + rps - 1) // rps == 1:
-            off = tags[_TAG_STRIP_OFFSETS][0]
-            cnt = tags[_TAG_STRIP_COUNTS][0]
-            if 0 < off and 0 < cnt and off + cnt <= self._fsize:
-                st = parse_structure(self._read_at(off, min(cnt, 256 << 10)))
-                if (st is not None and st.bandable
-                        and st.width >= w and st.height >= h):
-                    ra = (lambda p, n, _o=off: self._read_at(_o + p, n))
-                    starts, eoi = index_restarts(
-                        ra, st.entropy_start, cnt - st.entropy_start)
-                    info = (st, starts, eoi, ra)
-        self._bandinfo[level] = info
-        return info
+        with self._band_lock:
+            cached = self._bandinfo.get(level, False)
+            if cached is not False:
+                return cached
+            from wsiseg_tpu.slides.jpegband import (index_restarts,
+                                                    parse_structure)
+            info = None
+            tags = self._levels[level]
+            w, h = self._dims[level]
+            rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+            comp = tags.get(_TAG_COMPRESSION, [_COMP_NONE])[0]
+            if (comp in (_COMP_JPEG_OLD, _COMP_JPEG)
+                    and (h + rps - 1) // rps == 1
+                    # abbreviated streams (split JPEGTables, tag 347) carry
+                    # no DQT/DHT of their own — the synthetic band JPEG
+                    # would be undecodable; whole-strip decode merges the
+                    # tables (_merge_jpeg_tables) and stays correct
+                    and _TAG_JPEG_TABLES not in tags):
+                off = tags[_TAG_STRIP_OFFSETS][0]
+                cnt = tags[_TAG_STRIP_COUNTS][0]
+                if 0 < off and 0 < cnt and off + cnt <= self._fsize:
+                    st = parse_structure(
+                        self._read_at(off, min(cnt, 256 << 10)))
+                    if (st is not None and st.bandable
+                            and st.width >= w and st.height >= h):
+                        ra = (lambda p, n, _o=off: self._read_at(_o + p, n))
+                        starts, eoi = index_restarts(
+                            ra, st.entropy_start, cnt - st.entropy_start)
+                        info = (st, starts, eoi, ra)
+            self._bandinfo[level] = info
+            return info
 
     def _jband(self, level: int, y0: int, y1: int) -> np.ndarray:
         """Cached banded decode of pixel rows [y0, y1) of a bandable
         level — peak memory is the requested band plus one restart
         segment of chroma-upsampling margin per side, never the whole
-        (potentially multi-GB) strip."""
-        key = ("jband", level, y0, y1)
-        hit = self._cache_get(key)
-        if hit is not None:
-            return hit
-        from wsiseg_tpu.slides.jpegband import decode_rows
+        (potentially multi-GB) strip. The cache is keyed on the
+        SEGMENT-ALIGNED span actually decoded (not the raw request), so
+        overlapping requests with different row offsets dedupe both the
+        decode work and the cached bytes."""
         st, starts, eoi, ra = self._band_structure(level)
-        try:
-            arr = decode_rows(ra, st, starts, eoi, y0, y1)
-        except Exception as e:
-            raise ValueError(
-                f"{self.path!r}: level {level} banded JPEG decode of rows "
-                f"[{y0},{y1}) failed: {e}") from e
-        return self._cache_put(key, arr)
+        rps = st.rows_per_segment_px
+        ya = (y0 // rps) * rps
+        yb = min(((y1 + rps - 1) // rps) * rps, st.height)
+        key = ("jband", level, ya, yb)
+        hit = self._cache_get(key)
+        if hit is None:
+            from wsiseg_tpu.slides.jpegband import decode_rows
+            try:
+                arr = decode_rows(ra, st, starts, eoi, ya, yb)
+            except Exception as e:
+                raise ValueError(
+                    f"{self.path!r}: level {level} banded JPEG decode of "
+                    f"rows [{ya},{yb}) failed: {e}") from e
+            hit = self._cache_put(key, arr)
+        return hit[y0 - ya:y1 - ya]
 
     def _strip(self, level: int, idx: int) -> np.ndarray:
         """Cached decode of pyramid strip ``idx`` of ``level``.
@@ -816,10 +833,12 @@ class _TiffBuilder:
         return path
 
 
-def _encode_jpeg(arr: np.ndarray, quality: int) -> bytes:
+def _encode_jpeg(arr: np.ndarray, quality: int,
+                 restart_rows: int = 0) -> bytes:
     from PIL import Image
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    kw = {"restart_marker_rows": restart_rows} if restart_rows else {}
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality, **kw)
     return buf.getvalue()
 
 
@@ -846,15 +865,8 @@ def write_ndpi(path: str, levels: Sequence[np.ndarray],
         for y0 in range(0, h, rps):
             band = arr[y0:y0 + rps]
             if compression == "jpeg":
-                if restart_rows:
-                    from PIL import Image
-                    buf = io.BytesIO()
-                    Image.fromarray(band).save(
-                        buf, "JPEG", quality=quality,
-                        restart_marker_rows=restart_rows)
-                    data = buf.getvalue()
-                else:
-                    data = _encode_jpeg(band, quality)
+                data = _encode_jpeg(band, quality,
+                                    restart_rows=restart_rows)
                 comp, photo = _COMP_JPEG_OLD, 6
             else:
                 data = band.tobytes()
